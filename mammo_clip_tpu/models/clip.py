@@ -1,0 +1,140 @@
+"""MammoCLIP dual-encoder model.
+
+Capability parity with the reference's ``BreastClip`` module
+(reference: breastclip/model/clip.py:14-114): EfficientNet image encoder + BERT text
+encoder + projection heads + learnable ``logit_scale`` initialized to log(1/temperature)
+(clip.py:39-43, temperature 0.07). The forward emits L2-normalized embeddings for one or
+two image views and one or two texts (clip.py:80-114); in-batch labels are derived by the
+loss, not stored here.
+
+TPU-first notes:
+* images are NHWC grayscale, bf16 activations; embeddings are normalized in fp32 for
+  numerical stability of the contrastive logits;
+* under pjit/GSPMD the batch axis is sharded over the mesh and the contrastive loss is
+  written over the global batch (see losses/clip_loss.py), so no explicit all-gather
+  appears at model level;
+* the reference's projection-head typo (clip.py:105 projects ``text_features_g`` instead
+  of ``text_features_g2`` in the no-projection branch) is NOT replicated.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .bert import BertConfig, BertEncoder, pool_text
+from .efficientnet import EfficientNet
+from .projection import make_projection_head
+
+
+def bert_config_from_model_config(model_config: Dict) -> BertConfig:
+    t = model_config["text_encoder"]
+    return BertConfig(
+        vocab_size=t.get("vocab_size", 28996),
+        hidden_size=t.get("hidden_size", 768),
+        num_layers=t.get("num_layers", 12),
+        num_heads=t.get("num_heads", 12),
+        intermediate_size=t.get("intermediate_size", 3072),
+        max_position_embeddings=t.get("max_position_embeddings", 512),
+        remat=t.get("gradient_checkpointing", False),
+    )
+
+
+def efficientnet_variant(name: str) -> str:
+    """Map encoder names (incl. the reference's quirk aliases) to a variant.
+
+    Reference quirk table (breastclip/model/modules/__init__.py:35-46):
+    'tf_efficientnetv2-detect' -> efficientnet-b2, 'tf_efficientnet_b5_ns-detect' -> b5.
+    """
+    aliases = {
+        "tf_efficientnetv2-detect": "b2",
+        "tf_efficientnet_b5_ns-detect": "b5",
+    }
+    if name in aliases:
+        return aliases[name]
+    if name.startswith("efficientnet-"):
+        return name.split("-")[1]
+    raise ValueError(f"unknown image encoder name: {name}")
+
+
+class MammoCLIP(nn.Module):
+    """Dual encoder. ``model_config`` follows core.config.default_pretrain_config."""
+
+    model_config: Dict
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        mc = dict(self.model_config)
+        ie = mc["image_encoder"]
+        self.image_encoder = EfficientNet(
+            variant=efficientnet_variant(ie["name"]),
+            in_channels=ie.get("in_channels", 1),
+            dtype=self.dtype,
+            name="image_encoder",
+        )
+        self.text_encoder = BertEncoder(
+            bert_config_from_model_config(mc), dtype=self.dtype, name="text_encoder"
+        )
+        self.text_pooling = mc["text_encoder"].get("pooling", "eos")
+        self.has_projection = "projection_head" in mc
+        if self.has_projection:
+            ph = dict(mc["projection_head"])
+            self.image_projection = make_projection_head(ph, dtype=self.dtype)
+            self.text_projection = make_projection_head(ph, dtype=self.dtype)
+        temperature = mc.get("temperature", 0.07)
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda rng: jnp.asarray(math.log(1.0 / temperature), jnp.float32),
+        )
+
+    # -- encoders ----------------------------------------------------------------------
+    def encode_image(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Images NHWC -> pooled features (N, C). CNN path of reference clip.py:46-54."""
+        return self.image_encoder(images, train=train)["pooled"]
+
+    def encode_text(
+        self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        hidden = self.text_encoder(input_ids, attention_mask, deterministic=not train)
+        return pool_text(hidden, attention_mask, self.text_pooling)
+
+    def _project_normalize(self, feats: jnp.ndarray, projection, train: bool) -> jnp.ndarray:
+        emb = projection(feats, deterministic=not train) if self.has_projection else feats
+        emb = emb.astype(jnp.float32)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    def embed_image(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """encode -> project -> L2 normalize (reference encode_image_normalized)."""
+        feats = self.encode_image(images, train=train)
+        return self._project_normalize(
+            feats, self.image_projection if self.has_projection else None, train
+        )
+
+    def embed_text(
+        self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        feats = self.encode_text(input_ids, attention_mask, train=train)
+        return self._project_normalize(
+            feats, self.text_projection if self.has_projection else None, train
+        )
+
+    # -- full forward --------------------------------------------------------------------
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False) -> Dict[str, jnp.ndarray]:
+        """batch keys: images (N,H,W,C); input_ids/attention_mask (N,S); optional
+        image_views, input_ids2/attention_mask2 for the multi-positive loss."""
+        out = {
+            "image_embeddings": self.embed_image(batch["images"], train=train),
+            "text_embeddings": self.embed_text(
+                batch["input_ids"], batch["attention_mask"], train=train
+            ),
+            "logit_scale": jnp.exp(self.logit_scale),
+        }
+        if "input_ids2" in batch and "image_views" in batch:
+            out["text_embeddings2"] = self.embed_text(
+                batch["input_ids2"], batch["attention_mask2"], train=train
+            )
+            out["image_view_embeddings"] = self.embed_image(batch["image_views"], train=train)
+        return out

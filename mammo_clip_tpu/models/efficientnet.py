@@ -1,0 +1,276 @@
+"""EfficientNet-B0..B7 in Flax, TPU-first (NHWC, bf16, XLA SAME padding).
+
+Capability parity with the reference's pretraining backbone — a lukemelas-style
+EfficientNet with TF "SAME" asymmetric padding, SE blocks, swish, and stochastic depth
+(reference: breastclip/model/modules/efficientnet_custom.py:36-411 and
+efficient_net_custom_utils.py BlockDecoder specs) — but written from the published
+EfficientNet architecture (Tan & Le 2019), not translated:
+
+* NHWC layout (TPU conv layout; the reference is NCHW).
+* ``padding='SAME'`` on ``nn.Conv`` reproduces TF's asymmetric same-padding exactly, so
+  the reference's Conv2dStaticSamePadding machinery (efficient_net_custom_utils.py:248-277)
+  collapses to a flag.
+* swish = ``jax.nn.silu``; the reference's MemoryEfficientSwish custom autograd Fn
+  (efficient_net_custom_utils.py:64-76) is unnecessary — XLA rematerializes the fusion.
+* Per-sample stochastic depth with rates linearly scaled by block index, matching the
+  reference's ``drop_connect_rate * idx / len(blocks)`` schedule
+  (efficientnet_custom.py forward).
+
+Feature contract (used by CLIP / classifier / detector / Mammo-FActOR):
+``__call__`` returns a dict with
+  ``pooled``     (N, C_head)  global-average-pooled head features — what the reference's
+                 dict-input forward returns as the pooled vector (efficientnet_custom.py:298-305)
+  ``features``   (N, H/32, W/32, C_head) raw head feature map (pre-pool) — the reference's
+                 ``raw_feature_map``, consumed by Mammo-FActOR
+  ``endpoints``  dict of reduction_1..5 feature maps (efficientnet_custom.py:226-260)
+  ``taps``       tuple of per-block outputs at ``feature_taps`` indices — the detector's
+                 C3/C4 taps (reference: Detectors/retinanet/efficient_net.py:207-244 with
+                 source_layer_indexes b5=[26,37], b2=[15,21], detector_model.py:374-391)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.stochastic import drop_connect
+
+# (num_repeat, kernel, stride, expand_ratio, in_filters, out_filters, se_ratio)
+_BASE_BLOCKS: Tuple[Tuple[int, int, int, int, int, int, float], ...] = (
+    (1, 3, 1, 1, 32, 16, 0.25),
+    (2, 3, 2, 6, 16, 24, 0.25),
+    (2, 5, 2, 6, 24, 40, 0.25),
+    (3, 3, 2, 6, 40, 80, 0.25),
+    (3, 5, 1, 6, 80, 112, 0.25),
+    (4, 5, 2, 6, 112, 192, 0.25),
+    (1, 3, 1, 6, 192, 320, 0.25),
+)
+
+# variant -> (width_mult, depth_mult, train_res, dropout)
+_VARIANTS: Dict[str, Tuple[float, float, int, float]] = {
+    "b0": (1.0, 1.0, 224, 0.2),
+    "b1": (1.0, 1.1, 240, 0.2),
+    "b2": (1.1, 1.2, 260, 0.3),
+    "b3": (1.2, 1.4, 300, 0.3),
+    "b4": (1.4, 1.8, 380, 0.4),
+    "b5": (1.6, 2.2, 456, 0.4),
+    "b6": (1.8, 2.6, 528, 0.5),
+    "b7": (2.0, 3.1, 600, 0.5),
+}
+
+BN_MOMENTUM = 0.99  # TF convention (torch equivalent: momentum=0.01)
+BN_EPS = 1e-3
+
+
+def round_filters(filters: int, width_mult: float, divisor: int = 8) -> int:
+    """TF channel rounding: scale, snap to multiple of 8, never drop below 90%."""
+    filters *= width_mult
+    new_f = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_f < 0.9 * filters:
+        new_f += divisor
+    return int(new_f)
+
+
+def round_repeats(repeats: int, depth_mult: float) -> int:
+    return int(math.ceil(depth_mult * repeats))
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockArgs:
+    kernel: int
+    stride: int
+    expand_ratio: int
+    in_filters: int
+    out_filters: int
+    se_ratio: float
+
+
+def scaled_block_args(variant: str) -> List[BlockArgs]:
+    """Fully-unrolled per-block args for a variant (after width/depth scaling)."""
+    width, depth, _, _ = _VARIANTS[variant]
+    out: List[BlockArgs] = []
+    for (r, k, s, e, i, o, se) in _BASE_BLOCKS:
+        i_s, o_s = round_filters(i, width), round_filters(o, width)
+        reps = round_repeats(r, depth)
+        for j in range(reps):
+            out.append(
+                BlockArgs(
+                    kernel=k,
+                    stride=s if j == 0 else 1,
+                    expand_ratio=e,
+                    in_filters=i_s if j == 0 else o_s,
+                    out_filters=o_s,
+                    se_ratio=se,
+                )
+            )
+    return out
+
+
+def stem_filters(variant: str) -> int:
+    return round_filters(32, _VARIANTS[variant][0])
+
+
+def head_filters(variant: str) -> int:
+    return round_filters(1280, _VARIANTS[variant][0])
+
+
+def default_detector_taps(variant: str) -> Tuple[int, int]:
+    """Block indices tapped (block OUTPUT) as C3/C4 by the RetinaNet factory; C5 is the
+    conv-head output.
+
+    Reference: detector_model.py:374-391 hardcodes b5 source_layer_indexes [26,37]
+    (channels 176/512) and b2 [15,21] (channels 120/352); efficient_net.py:217-237 takes
+    the tapped block's output. For other variants we pick the analogous positions: the
+    last block of the 112-filter stage and the last block of the 320-filter stage.
+    """
+    if variant == "b5":
+        return (26, 37)
+    if variant == "b2":
+        return (15, 21)
+    args = scaled_block_args(variant)
+    width = _VARIANTS[variant][0]
+    s5_out = round_filters(112, width)
+    last_s5 = max(i for i, a in enumerate(args) if a.out_filters == s5_out)
+    return (last_s5, len(args) - 1)
+
+
+def tap_channels(variant: str, taps: Sequence[int]) -> List[int]:
+    args = scaled_block_args(variant)
+    return [args[t].out_filters for t in taps] + [head_filters(variant)]
+
+
+class SqueezeExcite(nn.Module):
+    """SE block; squeeze width derived from the block's INPUT filters (lukemelas
+    semantics, reference: efficientnet_custom.py MBConvBlock ctor)."""
+
+    in_filters: int
+    se_ratio: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        squeezed = max(1, int(self.in_filters * self.se_ratio))
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(squeezed, (1, 1), dtype=self.dtype, name="reduce")(s)
+        s = jax.nn.silu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class MBConvBlock(nn.Module):
+    args: BlockArgs
+    drop_rate: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        a = self.args
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name=name,
+        )
+        inputs = x
+        expanded = a.in_filters * a.expand_ratio
+        if a.expand_ratio != 1:
+            x = nn.Conv(expanded, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv")(x)
+            x = bn("bn0")(x)
+            x = jax.nn.silu(x)
+        x = nn.Conv(
+            expanded,
+            (a.kernel, a.kernel),
+            strides=(a.stride, a.stride),
+            padding="SAME",
+            feature_group_count=expanded,
+            use_bias=False,
+            dtype=self.dtype,
+            name="depthwise_conv",
+        )(x)
+        x = bn("bn1")(x)
+        x = jax.nn.silu(x)
+        if 0.0 < a.se_ratio <= 1.0:
+            x = SqueezeExcite(a.in_filters, a.se_ratio, dtype=self.dtype, name="se")(x)
+        x = nn.Conv(a.out_filters, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv")(x)
+        x = bn("bn2")(x)
+        if a.stride == 1 and a.in_filters == a.out_filters:
+            if train and self.drop_rate > 0.0:
+                x = drop_connect(x, self.make_rng("stochastic"), self.drop_rate, deterministic=False)
+            x = x + inputs
+        return x
+
+
+class EfficientNet(nn.Module):
+    """Headless EfficientNet feature extractor (see module docstring for the contract)."""
+
+    variant: str = "b5"
+    in_channels: int = 1  # grayscale mammograms (reference: _change_in_channels,
+    #                        efficientnet_custom.py:402-411)
+    drop_connect_rate: float = 0.2
+    feature_taps: Tuple[int, ...] = ()
+    dtype: Any = jnp.float32
+
+    @property
+    def out_dim(self) -> int:
+        return head_filters(self.variant)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
+        assert x.ndim == 4 and x.shape[-1] == self.in_channels, (
+            f"expected NHWC with C={self.in_channels}, got {x.shape}"
+        )
+        args = scaled_block_args(self.variant)
+        n_blocks = len(args)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name=name,
+        )
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            stem_filters(self.variant),
+            (3, 3),
+            strides=(2, 2),
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            name="stem_conv",
+        )(x)
+        x = jax.nn.silu(bn("stem_bn")(x))
+
+        # Endpoint naming matches the reference's extract_endpoints
+        # (efficientnet_custom.py:226-260): reduction_k is the last feature map at scale
+        # 1/2^k for k=1..5, and reduction_6 is the conv-head output (1/32).
+        endpoints: Dict[str, jnp.ndarray] = {}
+        taps: List[jnp.ndarray] = []
+        prev = x
+        for idx, a in enumerate(args):
+            rate = self.drop_connect_rate * idx / n_blocks
+            x = MBConvBlock(a, drop_rate=rate, dtype=self.dtype, name=f"block_{idx}")(x, train=train)
+            if a.stride > 1:
+                endpoints[f"reduction_{len(endpoints) + 1}"] = prev
+            elif idx == n_blocks - 1:
+                endpoints[f"reduction_{len(endpoints) + 1}"] = x
+            if idx in self.feature_taps:
+                taps.append(x)
+            prev = x
+
+        x = nn.Conv(head_filters(self.variant), (1, 1), use_bias=False, dtype=self.dtype, name="head_conv")(x)
+        x = jax.nn.silu(bn("head_bn")(x))
+        endpoints[f"reduction_{len(endpoints) + 1}"] = x
+
+        return {
+            "pooled": jnp.mean(x, axis=(1, 2)),
+            "features": x,
+            "endpoints": endpoints,
+            "taps": tuple(taps),
+        }

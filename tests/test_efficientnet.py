@@ -1,0 +1,95 @@
+"""EfficientNet architecture tests: channel math, endpoints, detector taps, shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mammo_clip_tpu.models.efficientnet import (
+    EfficientNet,
+    default_detector_taps,
+    head_filters,
+    round_filters,
+    round_repeats,
+    scaled_block_args,
+    stem_filters,
+    tap_channels,
+)
+
+
+def test_round_filters_matches_reference_widths():
+    # b2 head 1408, b5 head 2048 (reference: modules/__init__.py:35-46 out_dim table)
+    assert round_filters(1280, 1.1) == 1408
+    assert round_filters(1280, 1.6) == 2048
+    assert round_filters(32, 1.1) == 32
+    assert round_filters(32, 1.6) == 48
+
+
+def test_block_counts():
+    assert len(scaled_block_args("b2")) == 23
+    assert len(scaled_block_args("b5")) == 39
+    assert len(scaled_block_args("b0")) == 16
+
+
+def test_detector_taps_channels():
+    # reference detector FPN sizes: b5 [176,512,2048], b2 [120,352,1408]
+    # (detector_model.py:374-391)
+    assert default_detector_taps("b5") == (26, 37)
+    assert default_detector_taps("b2") == (15, 21)
+    assert tap_channels("b5", default_detector_taps("b5")) == [176, 512, 2048]
+    assert tap_channels("b2", default_detector_taps("b2")) == [120, 352, 1408]
+
+
+def test_b0_forward_shapes_and_endpoints():
+    model = EfficientNet(variant="b0", in_channels=1, feature_taps=(10, 15))
+    x = jnp.zeros((2, 64, 96, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["pooled"].shape == (2, 1280)
+    assert out["features"].shape == (2, 2, 3, 1280)
+    # reduction_k has spatial scale 1/2^k; reduction_6 is the head output.
+    assert out["endpoints"]["reduction_1"].shape[1:3] == (32, 48)
+    assert out["endpoints"]["reduction_2"].shape[1:3] == (16, 24)
+    assert out["endpoints"]["reduction_3"].shape[1:3] == (8, 12)
+    assert out["endpoints"]["reduction_4"].shape[1:3] == (4, 6)
+    assert out["endpoints"]["reduction_5"].shape[1:3] == (2, 3)
+    assert out["endpoints"]["reduction_6"].shape == (2, 2, 3, 1280)
+    assert len(out["taps"]) == 2
+
+
+def test_odd_input_same_padding():
+    """TF SAME padding handles non-multiple-of-32 inputs (e.g. 1520x912 / 16 = 95x57)."""
+    model = EfficientNet(variant="b0", in_channels=1)
+    x = jnp.zeros((1, 95, 57, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    # ceil division at each of the 5 stride-2 layers: 95 -> 48 -> 24 -> 12 -> 6 -> 3
+    assert out["features"].shape[1:3] == (3, 2)
+
+
+def test_train_mode_updates_batch_stats_and_stochastic_depth():
+    model = EfficientNet(variant="b0", in_channels=1, drop_connect_rate=0.2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out, mutated = model.apply(
+        variables,
+        x,
+        train=True,
+        rngs={"stochastic": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert "batch_stats" in mutated
+    # running mean must have moved away from init zeros somewhere
+    leaves = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_se_squeeze_uses_input_filters():
+    """SE squeeze width must derive from block INPUT filters (lukemelas semantics)."""
+    model = EfficientNet(variant="b0", in_channels=1)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    params = variables["params"]
+    # block_1 (stage 2 first block): in=16, expand=6 -> expanded 96, squeeze = int(16*0.25)=4
+    se_reduce = params["block_1"]["se"]["reduce"]["kernel"]
+    assert se_reduce.shape == (1, 1, 96, 4)
