@@ -127,6 +127,21 @@ def save_config(cfg: Config, path: str) -> None:
 #   15 epochs / 1 warmup     configs/scheduler/cosine_epoch15_warmup1.yaml:3-4
 # --------------------------------------------------------------------------------------
 
+def tiny_test_config() -> Config:
+    """Miniature end-to-end config (b0 @ 64x64, 2-layer BERT) for tests/dry-runs."""
+    cfg = default_pretrain_config("b2")
+    cfg.model.image_encoder.name = "efficientnet-b0"
+    cfg.model.text_encoder.update(
+        vocab_size=128, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, max_position_embeddings=64,
+    )
+    cfg.model.projection_head.proj_dim = 32
+    cfg.data.update(image_size_h=64, image_size_w=64, text_max_length=16,
+                    batch_size_per_device=2)
+    cfg.scheduler.update(epochs=2, warmup_epochs=1)
+    return cfg
+
+
 def default_pretrain_config(variant: str = "b5") -> Config:
     assert variant in ("b2", "b5")
     return Config(

@@ -1,0 +1,106 @@
+"""Orbax checkpointing with the reference's cross-stack contract.
+
+The reference's checkpoint IS its cross-stack API: a torch ``.tar`` holding
+``{model, optimizer, scheduler, config, epoch, train_loss}`` (reference:
+trainer.py:219-230); downstream consumers rebuild the encoder from the embedded config
+(breast_clip_classifier.py:10-17). This module reproduces that contract with Orbax
+sharded checkpoints: payload ``{params, batch_stats, opt_state, step}`` plus a
+``config.json`` + ``meta.json`` sidecar.
+
+Two reference gaps fixed on purpose (SURVEY.md §5 checkpoint/resume):
+* optimizer/scheduler state is actually RESTORED on resume (the reference saves it but
+  reloads only model weights, trainer.py:108-112);
+* checkpoints are sharded/async-friendly rather than a single host pickle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..core.config import Config
+
+
+def _manager(directory: str, max_to_keep: Optional[int] = None) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        directory,
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_checkpoint(
+    directory: str,
+    state,
+    config: Optional[Dict] = None,
+    step: Optional[int] = None,
+    extra_meta: Optional[Dict[str, Any]] = None,
+    max_to_keep: Optional[int] = None,
+) -> None:
+    """Save {params, batch_stats, opt_state, step} at ``directory/<step>``; embed config."""
+    directory = os.path.abspath(directory)
+    step = int(state.step) if step is None else int(step)
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    with _manager(directory, max_to_keep) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(payload))
+        mgr.wait_until_finished()
+    if jax.process_index() == 0:
+        meta = {"step": step}
+        if extra_meta:
+            meta.update(extra_meta)
+        with open(os.path.join(directory, str(step), "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if config is not None:
+            with open(os.path.join(directory, str(step), "config.json"), "w") as f:
+                f.write(Config(config).to_json())
+
+
+def latest_step(directory: str) -> Optional[int]:
+    directory = os.path.abspath(directory)
+    if not os.path.isdir(directory):
+        return None
+    with _manager(directory) as mgr:
+        return mgr.latest_step()
+
+
+def restore_checkpoint(directory: str, template_state, step: Optional[int] = None):
+    """Restore a TrainState saved by save_checkpoint. ``template_state`` supplies the
+    tree structure/shardings (create it with create_train_state on abstract or real
+    arrays). Returns (state, config_dict_or_None, meta)."""
+    directory = os.path.abspath(directory)
+    with _manager(directory) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        assert step is not None, f"no checkpoint found under {directory}"
+        template = {
+            "params": template_state.params,
+            "batch_stats": template_state.batch_stats,
+            "opt_state": template_state.opt_state,
+            "step": template_state.step,
+        }
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    state = template_state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    config = None
+    cfg_path = os.path.join(directory, str(step), "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            config = Config.from_json(f.read())
+    meta = {}
+    meta_path = os.path.join(directory, str(step), "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, config, meta

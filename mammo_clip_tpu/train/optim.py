@@ -1,0 +1,63 @@
+"""Optimizer factory (reference: breastclip/optimizer/__init__.py:10-32).
+
+AdamW / SGD via optax. The reference's no-decay param-group option exists but is
+commented out in the shipped config (configs/optimizer/adamw.yaml:2), so the default
+here likewise applies weight decay to every parameter; pass ``no_decay_patterns`` to
+exclude e.g. biases / norm scales / logit_scale.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import optax
+
+
+def _decay_mask(params, no_decay_patterns: Sequence[str]):
+    regexes = [re.compile(p) for p in no_decay_patterns]
+
+    def path_str(kp) -> str:
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: not any(r.search(path_str(kp)) for r in regexes), params
+    )
+
+
+def build_optimizer(
+    config: dict,
+    schedule,
+    params=None,
+    no_decay_patterns: Optional[Sequence[str]] = None,
+) -> optax.GradientTransformation:
+    name = config.get("name", "adamw").lower()
+    wd = config.get("weight_decay", 1e-4)
+    if name == "adamw":
+        mask = None
+        if no_decay_patterns:
+            assert params is not None, "params required to build the no-decay mask"
+            mask = _decay_mask(params, no_decay_patterns)
+        tx = optax.adamw(
+            learning_rate=schedule,
+            b1=config.get("beta1", 0.9),
+            b2=config.get("beta2", 0.999),
+            eps=config.get("eps", 1e-8),
+            weight_decay=wd,
+            mask=mask,
+        )
+    elif name == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.sgd(learning_rate=schedule, momentum=config.get("momentum", 0.9)),
+        )
+    elif name == "adam":
+        tx = optax.adam(learning_rate=schedule)
+    else:
+        raise KeyError(f"unknown optimizer: {name}")
+
+    clip = config.get("grad_clip_norm")
+    if clip:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    return tx

@@ -1,0 +1,56 @@
+"""Training state: params + batch_stats + optimizer state, fully functional.
+
+Replaces the reference's mutable (model, optimizer, scheduler, GradScaler) quartet
+(reference: trainer.py:115-156). No GradScaler: TPU trains in bf16 with fp32 master
+params — no loss scaling needed (SURVEY.md §2.2 AMP row).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=new_batch_stats if new_batch_stats is not None else self.batch_stats,
+        )
+
+
+def create_train_state(
+    model,
+    example_batch: Dict[str, jnp.ndarray],
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    train: bool = False,
+) -> TrainState:
+    """Initialize model variables from an example batch and wrap them in a TrainState."""
+    init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+                 "stochastic": jax.random.fold_in(rng, 2)}
+    variables = model.init(init_rngs, example_batch, train=train)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )

@@ -1,0 +1,149 @@
+"""Training-layer tests: schedule parity, end-to-end train step, sharded-vs-single
+equivalence on the 8-device CPU mesh, checkpoint roundtrip with optimizer state."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mammo_clip_tpu.core.config import tiny_test_config
+from mammo_clip_tpu.core.mesh import MeshContext
+from mammo_clip_tpu.losses import build_loss
+from mammo_clip_tpu.models import build_model
+from mammo_clip_tpu.parallel import partition_params
+from mammo_clip_tpu.train import (
+    build_optimizer,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+    warmup_cosine_sq_schedule,
+)
+
+
+def _reference_lr_multiplier(step, total, warmup):
+    """Reference formula (warmup_cosine.py:41-50)."""
+    if step < warmup:
+        return step / float(max(1, warmup))
+    cos_factor = (step - warmup) / (total - warmup)
+    return max(0.0, math.cos(cos_factor * (math.pi / 2)) ** 2)
+
+
+def test_schedule_matches_reference():
+    base_lr, total, warmup = 5e-5, 100, 10
+    sched = warmup_cosine_sq_schedule(base_lr, total, warmup)
+    for step in [0, 1, 5, 9, 10, 11, 50, 99, 100]:
+        np.testing.assert_allclose(
+            float(sched(step)),
+            base_lr * _reference_lr_multiplier(step, total, warmup),
+            rtol=1e-5,
+            atol=1e-12,
+            err_msg=f"step={step}",
+        )
+
+
+def _make_everything(cfg, global_batch=4, seed=0):
+    model = build_model(cfg.model.to_dict())
+    loss_fn = build_loss(cfg.loss.to_dict())
+    sched = warmup_cosine_sq_schedule(1e-3, total_steps=50, warmup_steps=2)
+    tx = build_optimizer(cfg.optimizer.to_dict(), sched)
+    rng = np.random.default_rng(seed)
+    h, w, s = cfg.data.image_size_h, cfg.data.image_size_w, cfg.data.text_max_length
+    v = cfg.model.text_encoder.vocab_size
+    ids = rng.integers(1, v, size=(global_batch, s), dtype=np.int32)
+    batch = {
+        "images": rng.standard_normal((global_batch, h, w, 1)).astype(np.float32),
+        "input_ids": ids,
+        "attention_mask": np.ones((global_batch, s), np.int32),
+        "image_views": rng.standard_normal((global_batch, h, w, 1)).astype(np.float32),
+        "input_ids2": ids,
+        "attention_mask2": np.ones((global_batch, s), np.int32),
+    }
+    batch = {k: jnp.asarray(x) for k, x in batch.items()}
+    state = create_train_state(model, batch, tx, jax.random.PRNGKey(seed))
+    return model, loss_fn, tx, state, batch
+
+
+def test_train_step_runs_and_loss_decreases():
+    cfg = tiny_test_config()
+    model, loss_fn, tx, state, batch = _make_everything(cfg)
+    train_step = make_train_step(model, loss_fn, donate=False)
+    losses = []
+    for i in range(5):
+        state, ld = train_step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(ld["total"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 5
+    # sub-terms are surfaced (reference logged these via a global singleton)
+    assert {"contrastive/i2t", "contrastive/t2i", "contrastive/i2i", "contrastive/t2t"} <= set(ld)
+
+
+def test_eval_step_deterministic():
+    cfg = tiny_test_config()
+    model, loss_fn, tx, state, batch = _make_everything(cfg)
+    eval_step = make_eval_step(model, loss_fn)
+    l1 = float(eval_step(state, batch)["total"])
+    l2 = float(eval_step(state, batch)["total"])
+    assert l1 == l2
+
+
+def test_sharded_train_step_matches_single_device():
+    """The GSPMD train step on an 8-device (4 data x 2 model) mesh must compute the same
+    loss and updates as single-device execution — validating that the global-batch
+    contrastive loss + TP param sharding preserve the reference DDP objective."""
+    cfg = tiny_test_config()
+    model, loss_fn, tx, state, batch = _make_everything(cfg, global_batch=8)
+    step_fn = make_train_step(model, loss_fn, donate=False)
+
+    # single device
+    s1, ld1 = step_fn(state, batch, jax.random.PRNGKey(7))
+    loss_single = float(ld1["total"])
+
+    # 8-device mesh: batch sharded over data axis, params partitioned per rules
+    ctx = MeshContext.create(data=4, model=2)
+    shardings = partition_params(state.params, ctx.mesh)
+    sharded_params = jax.device_put(state.params, shardings)
+    state8 = state.replace(params=sharded_params, opt_state=tx.init(sharded_params))
+    batch8 = ctx.shard_host_batch(batch)
+    # input NamedShardings drive GSPMD under jit; no mesh context needed
+    s8, ld8 = step_fn(state8, batch8, jax.random.PRNGKey(7))
+    loss_sharded = float(ld8["total"])
+
+    np.testing.assert_allclose(loss_sharded, loss_single, rtol=2e-4)
+    # parameters after one update must agree
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat8 = jax.tree_util.tree_leaves(jax.device_get(s8.params))
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_checkpoint_roundtrip_restores_optimizer_state(tmp_path):
+    cfg = tiny_test_config()
+    model, loss_fn, tx, state, batch = _make_everything(cfg)
+    train_step = make_train_step(model, loss_fn, donate=False)
+    for _ in range(3):
+        state, _ = train_step(state, batch, jax.random.PRNGKey(0))
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state, config=cfg.to_dict(), extra_meta={"train_loss": 1.23})
+
+    template = create_train_state(model, batch, tx, jax.random.PRNGKey(99))
+    restored, rcfg, meta = restore_checkpoint(ckpt_dir, template)
+
+    assert int(restored.step) == 3
+    assert meta["train_loss"] == 1.23
+    # embedded config drives model rebuild (the reference's cross-stack contract)
+    assert rcfg.model.image_encoder.name == cfg.model.image_encoder.name
+    for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too (reference gap: saved but never restored)
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state), jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues from restored state identically
+    s_a, ld_a = train_step(state, batch, jax.random.PRNGKey(5))
+    s_b, ld_b = train_step(restored, batch, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(ld_a["total"]), float(ld_b["total"]), rtol=1e-6)
