@@ -1,0 +1,111 @@
+"""Driver benchmark: Mammo-CLIP pretraining throughput on real TPU hardware.
+
+Measures images/sec/chip for the FULL fused pretraining step of the flagship recipe —
+EfficientNet-B5 + BERT-base dual encoder @ 912x1520 grayscale, two views + two texts per
+sample, on-device flip/affine/elastic augmentation, multi-positive symmetric InfoNCE,
+AdamW — i.e. everything the reference does per step (reference hot loop:
+trainer_ddp.py:266-344; recipe configs/pre_train_b5_clip.yaml, bs 4/GPU AMP).
+
+"images" counts mammogram views pushed through the image encoder (2 per sample-pair),
+matching how a DDP imgs/sec counter would see the reference's batch.
+
+vs_baseline: ratio to the BASELINE.md A100 estimate (see A100_IMGS_PER_SEC_ESTIMATE
+below). The reference publishes no throughput numbers (SURVEY.md §6), so the baseline is
+an analytic estimate documented in BASELINE.md; BASELINE.json's north-star target is
+3x A100 images/sec/chip.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Analytic A100 estimate for the reference recipe (B5 @ 912x1520 CLIP step, AMP, bs 4),
+# derived in BASELINE.md "throughput baseline" section: ~36 images/sec/chip.
+A100_IMGS_PER_SEC_ESTIMATE = 36.0
+
+BATCH = 4  # reference: 4 samples/GPU (configs/dataloader/dataloader_b5.yaml:6)
+WARMUP_STEPS = 3
+MEASURE_STEPS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.core.config import default_pretrain_config
+    from mammo_clip_tpu.losses import build_loss
+    from mammo_clip_tpu.models import build_model
+    from mammo_clip_tpu.ops.augment import AugmentConfig, augment_batch
+    from mammo_clip_tpu.train import (
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+        warmup_cosine_sq_schedule,
+    )
+
+    cfg = default_pretrain_config("b5")
+    cfg.model.image_encoder.remat = True
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+    seq = cfg.data.text_max_length
+
+    model = build_model(cfg.model.to_dict(), dtype=jnp.bfloat16)
+    loss_fn = build_loss(cfg.loss.to_dict())
+    schedule = warmup_cosine_sq_schedule(cfg.optimizer.lr, total_steps=10_000, warmup_steps=500)
+    tx = build_optimizer(cfg.optimizer.to_dict(), schedule)
+
+    aug = AugmentConfig.from_dict(cfg.augment.to_dict())
+    mean, std = cfg.data.mean, cfg.data.std
+
+    def preprocess(batch, rng):
+        k1, k2 = jax.random.split(rng)
+        batch = dict(batch)
+        batch["images"] = augment_batch(batch["images"], k1, aug, mean, std, train=True)
+        batch["image_views"] = augment_batch(batch["image_views"], k2, aug, mean, std, train=True)
+        return batch
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, cfg.model.text_encoder.vocab_size, size=(BATCH, seq), dtype=np.int32)
+    host_batch = {
+        # uint8 views as they arrive from the packed shards; normalization+augmentation
+        # run on device inside the step
+        "images": rng.integers(0, 255, size=(BATCH, h, w, 1), dtype=np.uint8),
+        "image_views": rng.integers(0, 255, size=(BATCH, h, w, 1), dtype=np.uint8),
+        "input_ids": ids,
+        "attention_mask": np.ones((BATCH, seq), np.int32),
+        "input_ids2": ids,
+        "attention_mask2": np.ones((BATCH, seq), np.int32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+    state = create_train_state(model, preprocess(batch, jax.random.PRNGKey(9)), tx, jax.random.PRNGKey(0))
+    train_step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
+
+    step_rng = jax.random.PRNGKey(1)
+    for _ in range(WARMUP_STEPS):
+        state, loss_dict = train_step(state, batch, step_rng)
+    jax.block_until_ready(loss_dict["total"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, loss_dict = train_step(state, batch, step_rng)
+    jax.block_until_ready(loss_dict["total"])
+    elapsed = time.perf_counter() - t0
+
+    images_per_sec = 2 * BATCH * MEASURE_STEPS / elapsed
+    result = {
+        "metric": "pretrain_images_per_sec_per_chip_b5_912x1520",
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / A100_IMGS_PER_SEC_ESTIMATE, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Input pipeline: host batching -> double-buffered device prefetch.
+
+Replaces the reference's torch DataLoader (+DistributedSampler) stack
+(reference: datamodule.py:104-131). The reference ships with num_workers=0
+(configs/dataloader/dataloader_b5.yaml:5), i.e. imread + albumentations + tokenize run
+synchronously between optimizer steps — the known throughput killer (SURVEY.md §3.1).
+
+TPU-native layout:
+* static shapes everywhere: fixed batch size (drop_last), fixed token length;
+* the host only stacks uint8 images and tokenizes; augmentation/normalization are
+  compiled into the train step (ops/augment.py);
+* ``prefetch_to_device`` runs the host work in a background thread and keeps
+  ``depth`` batches resident in HBM (sharded over the mesh), so the device never waits
+  on the host after step 1;
+* multi-host SPMD: each process enumerates only the index slice for its addressable
+  shard (process_index-strided), and ``MeshContext.shard_host_batch`` assembles the
+  global array — the jax equivalent of DistributedSampler without a sampler object.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class Batcher:
+    """Deterministic, seeded batch iterator over a host dataset.
+
+    dataset: mapping-style with __len__/__getitem__ returning dicts with
+    'image' (H,W uint8), optional 'image_view', 'text'/'text2' strings or 'label'.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        tokenizer,
+        batch_size: int,
+        max_length: int = 256,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.process_index = jax.process_index() if process_index is None else process_index
+        self.process_count = jax.process_count() if process_count is None else process_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        if hasattr(self.dataset, "reseed"):
+            self.dataset.reseed(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.process_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 100_003 + self.epoch)
+            rng.shuffle(order)
+        return order[self.process_index :: self.process_count]
+
+    def _collate(self, items) -> Dict[str, np.ndarray]:
+        batch: Dict[str, np.ndarray] = {}
+        batch["images"] = np.stack([it["image"] for it in items])[..., None]
+        if "image_view" in items[0]:
+            batch["image_views"] = np.stack([it["image_view"] for it in items])[..., None]
+        if "text" in items[0]:
+            enc = self.tokenizer([it["text"] for it in items], max_length=self.max_length)
+            batch["input_ids"] = enc["input_ids"]
+            batch["attention_mask"] = enc["attention_mask"]
+        if "text2" in items[0]:
+            enc2 = self.tokenizer([it["text2"] for it in items], max_length=self.max_length)
+            batch["input_ids2"] = enc2["input_ids"]
+            batch["attention_mask2"] = enc2["attention_mask"]
+        if "label" in items[0]:
+            batch["labels"] = np.asarray([it["label"] for it in items])
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        bs = self.batch_size
+        n_full = len(idx) // bs
+        for b in range(n_full):
+            items = [self.dataset[int(i)] for i in idx[b * bs : (b + 1) * bs]]
+            yield self._collate(items)
+        if not self.drop_last and len(idx) % bs:
+            items = [self.dataset[int(i)] for i in idx[n_full * bs :]]
+            yield self._collate(items)
+
+
+def prefetch_to_device(batches, mesh_ctx=None, depth: int = 2):
+    """Wrap a host batch iterator with a background thread + HBM double buffering.
+
+    Yields device-resident (sharded when mesh_ctx given) batches. ``depth`` bounds how
+    many batches are in flight, overlapping host IO/tokenization with device compute.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list = []
+
+    def put(batch):
+        if mesh_ctx is not None:
+            return mesh_ctx.shard_host_batch(batch)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(put(b))
+        except Exception as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -72,6 +72,7 @@ class MammoCLIP(nn.Module):
         self.image_encoder = EfficientNet(
             variant=efficientnet_variant(ie["name"]),
             in_channels=ie.get("in_channels", 1),
+            remat=ie.get("remat", False),
             dtype=self.dtype,
             name="image_encoder",
         )

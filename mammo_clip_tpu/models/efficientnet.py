@@ -214,6 +214,9 @@ class EfficientNet(nn.Module):
     #                        efficientnet_custom.py:402-411)
     drop_connect_rate: float = 0.2
     feature_taps: Tuple[int, ...] = ()
+    remat: bool = False  # rematerialize each MBConv block (trades FLOPs for HBM;
+    #                       replaces the reference's MemoryEfficientSwish + HF
+    #                       gradient-checkpointing knobs)
     dtype: Any = jnp.float32
 
     @property
@@ -253,9 +256,11 @@ class EfficientNet(nn.Module):
         endpoints: Dict[str, jnp.ndarray] = {}
         taps: List[jnp.ndarray] = []
         prev = x
+        block_cls = nn.remat(MBConvBlock, static_argnums=(2,)) if self.remat else MBConvBlock
         for idx, a in enumerate(args):
             rate = self.drop_connect_rate * idx / n_blocks
-            x = MBConvBlock(a, drop_rate=rate, dtype=self.dtype, name=f"block_{idx}")(x, train=train)
+            # train passed positionally: nn.remat static_argnums counts positional args
+            x = block_cls(a, drop_rate=rate, dtype=self.dtype, name=f"block_{idx}")(x, train)
             if a.stride > 1:
                 endpoints[f"reduction_{len(endpoints) + 1}"] = prev
             elif idx == n_blocks - 1:

@@ -1,0 +1,240 @@
+"""Fused on-device augmentation + normalization.
+
+Replaces the reference's CPU-side albumentations pipeline — HorizontalFlip, VerticalFlip,
+Affine(rotate ±20°, translate ±10%, scale 0.8–1.2, shear ±20°), ElasticTransform(α=10,
+σ=15), each applied with probability 0.5 (reference: breastclip/data/data_utils.py:28-62,
+params configs/transform/clahe.yaml:5-12) — and the per-image min-max + mean/std
+normalization (imagetext.py:131-134).
+
+Why on-device: the reference runs augmentation synchronously on the training process
+(num_workers=0, configs/dataloader/dataloader_b5.yaml:5) and it dominates step time at
+1520x912. Here the whole pipeline compiles INTO the train step:
+
+* flips and the affine transform are composed into ONE per-sample 2x3 inverse matrix;
+* the elastic displacement field is synthesized at 1/8 resolution (uniform noise ->
+  separable Gaussian blur at sigma/8 -> bilinear upsample), spectrally equivalent to
+  full-res blurring at sigma but 64x cheaper;
+* affine coords + elastic displacement feed a SINGLE bilinear gather per image, so each
+  pixel is resampled exactly once regardless of how many ops are enabled;
+* everything is batched (B,H,W,C) and driven by per-sample PRNG keys, so the same
+  compiled program serves every step.
+
+Parity note: albumentations samples each transform's parameters from symmetric ranges
+and applies each op with p=0.5; we reproduce those distributions. Pixel-level equality
+with OpenCV resampling is not a goal (quality parity is judged statistically on final
+AUC, SURVEY.md §7 "hard parts" #2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    hflip_p: float = 0.5
+    vflip_p: float = 0.5
+    affine_p: float = 0.5
+    rotate_deg: float = 20.0
+    translate_frac: float = 0.1
+    scale_min: float = 0.8
+    scale_max: float = 1.2
+    shear_deg: float = 20.0
+    elastic_p: float = 0.5
+    elastic_alpha: float = 10.0
+    elastic_sigma: float = 15.0
+    elastic_downsample: int = 8
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "AugmentConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+# ------------------------------------------------------------------------------------
+# normalization
+# ------------------------------------------------------------------------------------
+
+def minmax_standardize(images: jnp.ndarray, mean: float, std: float) -> jnp.ndarray:
+    """Per-image min-max to [0,1] then (x - mean)/std (reference imagetext.py:131-134).
+
+    Accepts uint8 or float input; returns float32.
+    """
+    x = images.astype(jnp.float32)
+    lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
+    hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+    x = (x - lo) / jnp.maximum(hi - lo, 1e-8)
+    return (x - mean) / std
+
+
+# ------------------------------------------------------------------------------------
+# affine machinery
+# ------------------------------------------------------------------------------------
+
+def sample_affine_matrices(rng: jax.Array, batch: int, height: int, width: int,
+                           cfg: AugmentConfig) -> jnp.ndarray:
+    """Per-sample 2x3 INVERSE maps (dst pixel -> src pixel), composing flips + affine.
+
+    The affine is taken about the image center. Returns (B, 2, 3) float32 acting on
+    homogeneous (x, y, 1) pixel coordinates.
+    """
+    ks = jax.random.split(rng, 7)
+    u_h = jax.random.uniform(ks[0], (batch,))
+    u_v = jax.random.uniform(ks[1], (batch,))
+    u_a = jax.random.uniform(ks[2], (batch,))
+    hflip = jnp.where(u_h < cfg.hflip_p, -1.0, 1.0)
+    vflip = jnp.where(u_v < cfg.vflip_p, -1.0, 1.0)
+    apply_affine = (u_a < cfg.affine_p).astype(jnp.float32)
+
+    deg = jnp.pi / 180.0
+    theta = jax.random.uniform(ks[3], (batch,), minval=-cfg.rotate_deg, maxval=cfg.rotate_deg) * deg * apply_affine
+    shear = jax.random.uniform(ks[4], (batch,), minval=-cfg.shear_deg, maxval=cfg.shear_deg) * deg * apply_affine
+    scale = 1.0 + (jax.random.uniform(ks[5], (batch,), minval=cfg.scale_min, maxval=cfg.scale_max) - 1.0) * apply_affine
+    trans = jax.random.uniform(ks[6], (batch, 2), minval=-cfg.translate_frac, maxval=cfg.translate_frac)
+    trans = trans * apply_affine[:, None] * jnp.asarray([width, height], jnp.float32)
+
+    # forward linear part F = R(theta) @ Shear(shear_x) @ diag(scale*hflip, scale*vflip)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    sx, sy = scale * hflip, scale * vflip
+    sh = jnp.tan(shear)
+    f00 = sx * cos + sy * sh * (-sin)
+    f01 = sy * (-sin)
+    f10 = sx * sin + sy * sh * cos
+    f11 = sy * cos
+    # no-op guard: with apply_affine=0 this degrades to pure flip matrices.
+    det = f00 * f11 - f01 * f10
+    inv00, inv01 = f11 / det, -f01 / det
+    inv10, inv11 = -f10 / det, f00 / det
+
+    cx = (width - 1) / 2.0
+    cy = (height - 1) / 2.0
+    # dst -> src: p_src = F^-1 @ (p_dst - c - t) + c
+    tx = -(inv00 * (cx + trans[:, 0]) + inv01 * (cy + trans[:, 1])) + cx
+    ty = -(inv10 * (cx + trans[:, 0]) + inv11 * (cy + trans[:, 1])) + cy
+    row0 = jnp.stack([inv00, inv01, tx], axis=-1)
+    row1 = jnp.stack([inv10, inv11, ty], axis=-1)
+    return jnp.stack([row0, row1], axis=1)
+
+
+def _gaussian_kernel(sigma: float, radius: int) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / max(sigma, 1e-6)) ** 2)
+    return k / jnp.sum(k)
+
+
+def sample_elastic_displacement(
+    rng: jax.Array, batch: int, height: int, width: int, cfg: AugmentConfig
+) -> jnp.ndarray:
+    """(B, H, W, 2) displacement in pixels: blurred uniform noise * alpha, synthesized
+    at 1/elastic_downsample resolution and bilinearly upsampled."""
+    d = cfg.elastic_downsample
+    hh, ww = max(height // d, 2), max(width // d, 2)
+    k_noise, k_gate = jax.random.split(rng)
+    noise = jax.random.uniform(k_noise, (batch, hh, ww, 2), minval=-1.0, maxval=1.0)
+    sigma_low = cfg.elastic_sigma / d
+    radius = max(int(3 * sigma_low), 1)
+    kern = _gaussian_kernel(sigma_low, radius)
+    # separable blur via depthwise convs
+    noise = jnp.moveaxis(noise, -1, 1).reshape(batch * 2, hh, ww, 1)
+    kh = kern.reshape(-1, 1, 1, 1)
+    kw = kern.reshape(1, -1, 1, 1)
+    blurred = jax.lax.conv_general_dilated(
+        noise, kh, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    blurred = jax.lax.conv_general_dilated(
+        blurred, kw, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    blurred = blurred.reshape(batch, 2, hh, ww).transpose(0, 2, 3, 1)
+    disp = jax.image.resize(blurred, (batch, height, width, 2), method="bilinear")
+    gate = (jax.random.uniform(k_gate, (batch, 1, 1, 1)) < cfg.elastic_p).astype(jnp.float32)
+    return disp * cfg.elastic_alpha * gate
+
+
+# ------------------------------------------------------------------------------------
+# warping
+# ------------------------------------------------------------------------------------
+
+def warp_bilinear(images: jnp.ndarray, src_xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinearly sample ``images`` (B,H,W,C) at ``src_xy`` (B,H,W,2) pixel coords
+    (x, y order). Out-of-range samples read 0 (constant border)."""
+    B, H, W, C = images.shape
+    x = src_xy[..., 0]
+    y = src_xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+
+    def tap(yy, xx):
+        valid = (xx >= 0) & (xx < W) & (yy >= 0) & (yy < H)
+        xi = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
+        flat = images.reshape(B, H * W, C)
+        idx = (yi * W + xi).reshape(B, H * W)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(B, H, W, C)
+        return vals * valid[..., None]
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def affine_grid(matrices: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Apply per-sample 2x3 maps to the dst pixel grid -> (B,H,W,2) src coords (x,y)."""
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)  # (H, W)
+    ones = jnp.ones_like(gx)
+    grid = jnp.stack([gx, gy, ones], axis=-1)  # (H, W, 3)
+    return jnp.einsum("bij,hwj->bhwi", matrices, grid)
+
+
+def augment_batch(
+    images: jnp.ndarray,
+    rng: jax.Array,
+    cfg: AugmentConfig,
+    mean: float,
+    std: float,
+    train: bool = True,
+) -> jnp.ndarray:
+    """The fused pipeline: normalize -> (train only) flip+affine+elastic via one warp."""
+    x = minmax_standardize(images, mean, std)
+    if not train:
+        return x
+    B, H, W, _ = x.shape
+    k_aff, k_el = jax.random.split(rng)
+    mats = sample_affine_matrices(k_aff, B, H, W, cfg)
+    coords = affine_grid(mats, H, W)
+    coords = coords + sample_elastic_displacement(k_el, B, H, W, cfg)
+    # constant border = background value (the standardized value of black)
+    background = (0.0 - mean) / std
+    warped = warp_bilinear(x - background, coords) + background
+    return warped
+
+
+def transform_points(matrices_fwd_inv: jnp.ndarray, points_xy: jnp.ndarray) -> jnp.ndarray:
+    """Map points with the FORWARD transform given the inverse matrices produced by
+    sample_affine_matrices (used to keep detection boxes consistent with the image).
+
+    matrices_fwd_inv: (B, 2, 3) inverse maps; points_xy: (B, N, 2).
+    """
+    a = matrices_fwd_inv[:, :, :2]
+    t = matrices_fwd_inv[:, :, 2]
+    # invert: src = A dst + t  =>  dst = A^-1 (src - t)
+    det = a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0]
+    inv = jnp.stack(
+        [
+            jnp.stack([a[:, 1, 1] / det, -a[:, 0, 1] / det], axis=-1),
+            jnp.stack([-a[:, 1, 0] / det, a[:, 0, 0] / det], axis=-1),
+        ],
+        axis=1,
+    )
+    rel = points_xy - t[:, None, :]
+    return jnp.einsum("bij,bnj->bni", inv, rel)

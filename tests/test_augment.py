@@ -1,0 +1,107 @@
+"""On-device augmentation tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mammo_clip_tpu.ops.augment import (
+    AugmentConfig,
+    affine_grid,
+    augment_batch,
+    minmax_standardize,
+    sample_affine_matrices,
+    sample_elastic_displacement,
+    transform_points,
+    warp_bilinear,
+)
+
+
+def test_minmax_standardize_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(2, 8, 8, 1)).astype(np.uint8)
+    mean, std = 0.3089279, 0.25053555408335154
+    out = np.asarray(minmax_standardize(jnp.asarray(img), mean, std))
+    x = img.astype(np.float32)
+    ref = (
+        (x - x.min(axis=(1, 2, 3), keepdims=True))
+        / (x.max(axis=(1, 2, 3), keepdims=True) - x.min(axis=(1, 2, 3), keepdims=True))
+        - mean
+    ) / std
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_identity_warp_is_noop():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((2, 16, 12, 1)).astype(np.float32))
+    eye = jnp.tile(jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]])[None], (2, 1, 1))
+    coords = affine_grid(eye, 16, 12)
+    out = warp_bilinear(img, coords)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_pure_hflip_matrix():
+    cfg = AugmentConfig(hflip_p=1.0, vflip_p=0.0, affine_p=0.0, elastic_p=0.0)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.standard_normal((1, 8, 6, 1)).astype(np.float32))
+    mats = sample_affine_matrices(jax.random.PRNGKey(0), 1, 8, 6, cfg)
+    out = warp_bilinear(img, affine_grid(mats, 8, 6))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img[:, :, ::-1]), atol=1e-5)
+
+
+def test_pure_vflip_matrix():
+    cfg = AugmentConfig(hflip_p=0.0, vflip_p=1.0, affine_p=0.0, elastic_p=0.0)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((1, 8, 6, 1)).astype(np.float32))
+    mats = sample_affine_matrices(jax.random.PRNGKey(0), 1, 8, 6, cfg)
+    out = warp_bilinear(img, affine_grid(mats, 8, 6))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img[:, ::-1]), atol=1e-5)
+
+
+def test_no_op_when_all_probs_zero():
+    cfg = AugmentConfig(hflip_p=0.0, vflip_p=0.0, affine_p=0.0, elastic_p=0.0)
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.integers(0, 255, (2, 32, 24, 1)).astype(np.float32))
+    out = augment_batch(img, jax.random.PRNGKey(1), cfg, mean=0.3, std=0.25)
+    expected = minmax_standardize(img, 0.3, 0.25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+def test_elastic_displacement_stats():
+    cfg = AugmentConfig(elastic_p=1.0, elastic_alpha=10.0, elastic_sigma=15.0)
+    disp = sample_elastic_displacement(jax.random.PRNGKey(0), 2, 64, 48, cfg)
+    assert disp.shape == (2, 64, 48, 2)
+    d = np.asarray(disp)
+    assert np.all(np.abs(d) <= cfg.elastic_alpha + 1e-5)
+    assert np.abs(d).max() > 0.01  # non-degenerate
+    # smoothness: neighbor deltas are small relative to range
+    grad = np.abs(np.diff(d, axis=1)).max()
+    assert grad < 1.5
+
+
+def test_elastic_gate_off():
+    cfg = AugmentConfig(elastic_p=0.0)
+    disp = sample_elastic_displacement(jax.random.PRNGKey(0), 1, 32, 32, cfg)
+    np.testing.assert_array_equal(np.asarray(disp), 0.0)
+
+
+def test_transform_points_roundtrip():
+    """transform_points applies the forward map: warping the image with the inverse map
+    and forward-mapping a source point must land where the feature moved."""
+    cfg = AugmentConfig(hflip_p=1.0, vflip_p=0.0, affine_p=0.0, elastic_p=0.0)
+    mats = sample_affine_matrices(jax.random.PRNGKey(0), 1, 10, 10, cfg)
+    pts = jnp.asarray([[[2.0, 3.0]]])  # x=2, y=3 in source image
+    mapped = np.asarray(transform_points(mats, pts))[0, 0]
+    # hflip on width 10: x -> 9 - x
+    np.testing.assert_allclose(mapped, [7.0, 3.0], atol=1e-4)
+
+
+def test_augment_batch_shapes_and_finite():
+    cfg = AugmentConfig()
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.integers(0, 255, (4, 64, 48, 1)).astype(np.uint8))
+    out = jax.jit(
+        lambda im, k: augment_batch(im, k, cfg, 0.3089279, 0.2505355, train=True)
+    )(img, jax.random.PRNGKey(3))
+    assert out.shape == (4, 64, 48, 1)
+    assert out.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(out)))
