@@ -1,0 +1,187 @@
+"""RetinaNet detection head over the CLIP EfficientNet backbone (Flax, NHWC).
+
+Capability parity with the reference detector
+(reference: Detectors/retinanet/detector_model.py):
+* FPN P3..P7 at 256 channels built from backbone taps C3 (stride 16 in the reference's
+  tap scheme), C4 and C5 (stride 32). The reference upsamples C3/C4 by 2 inside the FPN
+  (detector_model.py:81-112), so the final pyramid sits at strides 8/16/32/64/128 —
+  matching the anchor lattice; we reproduce exactly that topology.
+* shared 4-conv regression and classification subnets, 9 anchors/location
+  (detector_model.py:115-239); classification output sigmoid with prior-bias init
+  -log((1-0.01)/0.01) (detector_model.py:288-292).
+* backbone taps: b5 blocks [26,37]+head (FPN inputs [176,512,2048]), b2 [15,21]+head
+  ([120,352,1408]) (detector_model.py:374-391) via EfficientNet.feature_taps.
+* anchors precomputed ONCE per static image size (ops/boxes.py) — not per forward.
+* BatchNorm in the backbone stays in inference mode during detector training,
+  matching the reference's frozen-BN (detector_model.py:297-305).
+
+Inference is shape-static: decode -> clip -> per-class static NMS (ops/nms.py) instead
+of the reference's data-dependent torchvision path (detector_model.py:331-354).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import build_anchors, clip_boxes, decode_boxes
+from ..ops.nms import batched_class_nms
+from .clip import efficientnet_variant
+from .efficientnet import EfficientNet, default_detector_taps
+
+
+def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor x2 (torch nn.Upsample(scale_factor=2, mode='nearest'))."""
+    B, H, W, C = x.shape
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class FPN(nn.Module):
+    """P3..P7 pyramid from (C3, C4, C5); reproduces the reference topology incl. the
+    x2 upsampling of the C3/C4 taps (detector_model.py:81-112)."""
+
+    feature_size: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c3: jnp.ndarray, c4: jnp.ndarray, c5: jnp.ndarray):
+        conv1 = lambda n: nn.Conv(self.feature_size, (1, 1), dtype=self.dtype, name=n)
+        conv3 = lambda n, s=1: nn.Conv(
+            self.feature_size, (3, 3), strides=(s, s), padding="SAME", dtype=self.dtype, name=n
+        )
+        p5 = conv1("p5_lateral")(c5)                      # stride 32
+        p5_up = _upsample2(p5)                            # stride 16
+        p5_out = conv3("p5_out")(p5)
+
+        p4 = _upsample2(conv1("p4_lateral")(c4))          # 32 -> 16
+        p4 = p4 + p5_up
+        p4_up = _upsample2(p4)                            # stride 8
+        p4_out = conv3("p4_out")(p4)
+
+        p3 = _upsample2(conv1("p3_lateral")(c3))          # 16 -> 8
+        p3 = p3 + p4_up
+        p3_out = conv3("p3_out")(p3)
+
+        p6 = conv3("p6", s=2)(c5)                         # stride 64
+        p7 = conv3("p7", s=2)(jax.nn.relu(p6))            # stride 128
+        return [p3_out, p4_out, p5_out, p6, p7]
+
+
+class BoxSubnet(nn.Module):
+    """Shared regression subnet: 4x (conv3x3 256 + relu) -> 4*num_anchors."""
+
+    num_anchors: int = 9
+    feature_size: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(4):
+            x = jax.nn.relu(
+                nn.Conv(self.feature_size, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{i}")(x)
+            )
+        x = nn.Conv(self.num_anchors * 4, (3, 3), padding="SAME", dtype=self.dtype, name="out")(x)
+        B, H, W, _ = x.shape
+        return x.reshape(B, H * W * self.num_anchors, 4)
+
+
+class ClassSubnet(nn.Module):
+    """Shared classification subnet with focal prior bias; emits sigmoid probs."""
+
+    num_classes: int
+    num_anchors: int = 9
+    feature_size: int = 256
+    prior: float = 0.01
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(4):
+            x = jax.nn.relu(
+                nn.Conv(self.feature_size, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{i}")(x)
+            )
+        bias_init = nn.initializers.constant(-np.log((1.0 - self.prior) / self.prior))
+        x = nn.Conv(
+            self.num_anchors * self.num_classes,
+            (3, 3),
+            padding="SAME",
+            bias_init=bias_init,
+            dtype=self.dtype,
+            name="out",
+        )(x)
+        B, H, W, _ = x.shape
+        x = x.reshape(B, H * W * self.num_anchors, self.num_classes)
+        return jax.nn.sigmoid(x.astype(jnp.float32))
+
+
+class RetinaNet(nn.Module):
+    """Backbone + FPN + shared subnets. ``__call__`` returns per-anchor classification
+    probabilities and regression deltas; use losses.focal_loss for training and
+    ``detect()`` for shape-static inference."""
+
+    image_encoder_config: Dict
+    num_classes: int
+    freeze_backbone: bool = False
+    feature_size: int = 256
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        ie = dict(self.image_encoder_config)
+        variant = efficientnet_variant(ie["name"])
+        self.backbone = EfficientNet(
+            variant=variant,
+            in_channels=ie.get("in_channels", 1),
+            feature_taps=default_detector_taps(variant),
+            remat=ie.get("remat", False),
+            dtype=self.dtype,
+            name="image_encoder",
+        )
+        self.fpn = FPN(self.feature_size, dtype=self.dtype)
+        self.box_subnet = BoxSubnet(dtype=self.dtype)
+        self.class_subnet = ClassSubnet(num_classes=self.num_classes, dtype=self.dtype)
+
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        # Backbone BN frozen (running stats) even in training — reference freezes all
+        # detector BN (detector_model.py:297-305); the heads are BN-free.
+        feats = self.backbone(images, train=False)
+        c3, c4 = feats["taps"]
+        c5 = feats["features"]
+        if self.freeze_backbone:
+            c3, c4, c5 = map(jax.lax.stop_gradient, (c3, c4, c5))
+        levels = self.fpn(c3, c4, c5)
+        reg = jnp.concatenate([self.box_subnet(p) for p in levels], axis=1)
+        cls = jnp.concatenate([self.class_subnet(p) for p in levels], axis=1)
+        return {"class_probs": cls, "box_deltas": reg}
+
+
+def anchors_for(image_shape: Tuple[int, int]) -> np.ndarray:
+    """Static per-shape anchor lattice (see ops/boxes.build_anchors)."""
+    return build_anchors(image_shape)
+
+
+def detect(
+    outputs: Dict[str, jnp.ndarray],
+    anchors: jnp.ndarray,
+    image_shape: Tuple[int, int],
+    score_threshold: float = 0.05,
+    iou_threshold: float = 0.5,
+    top_k_per_class: int = 100,
+):
+    """Decode + clip + per-class static NMS for a whole batch.
+
+    Returns dict of (B, C*K, ...) arrays: boxes, scores, classes, valid.
+    Reference eval path: detector_model.py:331-354 (score>0.05 filter, NMS@0.5).
+    """
+
+    def per_image(cls_probs, deltas):
+        boxes = clip_boxes(decode_boxes(anchors, deltas), image_shape)
+        return batched_class_nms(
+            boxes, cls_probs, iou_threshold, score_threshold, top_k_per_class
+        )
+
+    b, s, c, v = jax.vmap(per_image)(outputs["class_probs"], outputs["box_deltas"])
+    return {"boxes": b, "scores": s, "classes": c, "valid": v}

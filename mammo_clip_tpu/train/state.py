@@ -44,7 +44,10 @@ def create_train_state(
     """Initialize model variables from an example batch and wrap them in a TrainState."""
     init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1),
                  "stochastic": jax.random.fold_in(rng, 2)}
-    variables = model.init(init_rngs, example_batch, train=train)
+    # jitted init: one compiled program instead of hundreds of eager op dispatches
+    # (critical on remote-dispatch TPU runtimes where each eager op is a round trip)
+    init_fn = jax.jit(lambda rngs, batch: model.init(rngs, batch, train=train))
+    variables = init_fn(init_rngs, example_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
