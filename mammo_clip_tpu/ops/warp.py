@@ -72,13 +72,12 @@ def _pass_1d(
     # ---- step 1: per-block integer base shifts (contiguous dynamic slices) ----------
     x_centers = (jnp.arange(nb, dtype=jnp.float32) + 0.5) * block
     bases = jnp.round(beta * x_centers)  # (nb,)
-    src_blocks = src_pad.reshape(Hs, nb, block)
-
-    def slice_block(b):
-        start = (margin - inner + bases[b]).astype(jnp.int32)
-        return jax.lax.dynamic_slice(src_blocks[:, b, :], (start, 0), (Hi, block))
-
-    slab = jnp.concatenate([slice_block(b) for b in range(nb)], axis=1)  # (Hi, W)
+    src_blocks = jnp.transpose(src_pad.reshape(Hs, nb, block), (1, 0, 2))  # (nb, Hs, blk)
+    starts = (margin - inner + bases).astype(jnp.int32)
+    slabs = jax.vmap(
+        lambda blk, st: jax.lax.dynamic_slice(blk, (st, 0), (Hi, block))
+    )(src_blocks, starts)  # (nb, Hi, block)
+    slab = jnp.transpose(slabs, (1, 0, 2)).reshape(Hi, W)
     # slab[i, x] = src[(i - inner) + base(x)]  in original source row coords
 
     # ---- step 2: shifted-copies residual interpolation ------------------------------
@@ -91,11 +90,17 @@ def _pass_1d(
     t_int = t_floor.astype(jnp.int32)
 
     slab_pad = jnp.pad(slab, ((k_half + 1, k_half + 1), (0, 0)))
-    acc = jnp.zeros((Hi, W), jnp.float32)
-    for s in range(-k_half, k_half + 1):
-        shifted = jax.lax.slice_in_dim(slab_pad, s + k_half + 1, s + k_half + 1 + Hi, axis=0)
+
+    # fori_loop keeps the HLO small (an unrolled 2K+1-step sweep compiles for tens of
+    # minutes on the remote-compile TPU toolchain); each iteration is a contiguous
+    # dynamic slice + select-FMA on the VPU.
+    def body(s_idx, acc):
+        s = s_idx - k_half
+        shifted = jax.lax.dynamic_slice_in_dim(slab_pad, s_idx + 1, Hi, axis=0)
         w = jnp.where(t_int == s, 1.0 - frac, 0.0) + jnp.where(t_int == s - 1, frac, 0.0)
-        acc = acc + shifted * w
+        return acc + shifted * w
+
+    acc = jax.lax.fori_loop(0, 2 * k_half + 1, body, jnp.zeros((Hi, W), jnp.float32))
     # acc[i, x] = src[(i - inner) + beta*x + disp(i, x)]
 
     # ---- step 3: alpha scale + gamma translate on the MXU ---------------------------
