@@ -65,8 +65,9 @@ def main() -> None:
     )
 
     cfg = default_pretrain_config("b5")
-    # bs 4/chip @ 912x1520 bf16 fits 16GB HBM without remat; remat costs ~35% step time
-    cfg.model.image_encoder.remat = False
+    # remat required: bf16 tile-padding expansion (2-4x) on the low-channel early
+    # feature maps blows 16GB HBM at bs4 without it
+    cfg.model.image_encoder.remat = True
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
 

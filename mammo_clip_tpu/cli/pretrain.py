@@ -1,0 +1,71 @@
+"""Pretraining CLI (reference: src/codebase/train.py:13-36 + the Hydra config tree).
+
+    python -m mammo_clip_tpu.cli.pretrain --config configs/pretrain_b5.yaml \
+        [--workdir outputs/b5] [--resume] [key.path=value ...]
+
+One entry point for single-chip and multi-chip: GSPMD handles the device layout (the
+reference dispatches to run vs run_ddp on LOCAL_RANK, train.py:29-32).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..core.config import default_pretrain_config, load_config, save_config
+from ..core.mesh import MeshContext, is_master
+from ..data.datamodule import DataModule
+from ..data.pipeline import prefetch_to_device
+from ..train.trainer import Trainer
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None, help="YAML config; defaults to the b5 recipe")
+    ap.add_argument("--variant", default="b5", choices=["b2", "b5"])
+    ap.add_argument("--workdir", default="outputs/pretrain")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--fold", type=int, default=0)
+    ap.add_argument("--data-frac", type=float, default=1.0)
+    ap.add_argument("overrides", nargs="*", help="dotted-path config overrides (a.b=c)")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config) if args.config else default_pretrain_config(args.variant)
+    if args.overrides:
+        cfg = cfg.apply_overrides(args.overrides)
+
+    ctx = MeshContext.create(**{k: v for k, v in cfg.get("mesh", {}).items()})
+    dm = DataModule(cfg, cur_fold=args.fold, data_frac=args.data_frac)
+    global_bs = cfg.data.batch_size_per_device * ctx.num_devices
+    train_b = dm.batcher("train", batch_size=global_bs)
+    valid_b = dm.batcher("valid", batch_size=global_bs) if cfg.data.get("valid") else None
+
+    if is_master():
+        save_config(cfg, f"{args.workdir}/config.yaml") if _ensure_dir(args.workdir) else None
+
+    def train_batches(epoch):
+        train_b.set_epoch(epoch)
+        return prefetch_to_device(iter(train_b), ctx)
+
+    valid_batches = None
+    if valid_b is not None:
+        def valid_batches(epoch):  # noqa: F811
+            return prefetch_to_device(iter(valid_b), ctx)
+
+    trainer = Trainer(cfg, mesh_ctx=ctx, workdir=args.workdir)
+    trainer.fit(
+        train_batches,
+        valid_batches,
+        steps_per_epoch=len(train_b),
+        resume=args.resume,
+    )
+
+
+def _ensure_dir(d: str) -> bool:
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    return True
+
+
+if __name__ == "__main__":
+    main()
