@@ -214,9 +214,13 @@ class EfficientNet(nn.Module):
     #                        efficientnet_custom.py:402-411)
     drop_connect_rate: float = 0.2
     feature_taps: Tuple[int, ...] = ()
-    remat: bool = False  # rematerialize each MBConv block (trades FLOPs for HBM;
+    remat: bool = False  # rematerialize MBConv blocks (trades FLOPs for HBM;
     #                       replaces the reference's MemoryEfficientSwish + HF
     #                       gradient-checkpointing knobs)
+    remat_max_reduction: int = 16  # with remat on, only blocks at spatial scale
+    #   1/2..1/remat_max_reduction are rematerialized: the shallow stages hold the
+    #   big activations (HBM pressure) while the deep 1/32 stages hold most params;
+    #   selective remat saves the memory without recomputing the deep stages.
     dtype: Any = jnp.float32
 
     @property
@@ -256,11 +260,15 @@ class EfficientNet(nn.Module):
         endpoints: Dict[str, jnp.ndarray] = {}
         taps: List[jnp.ndarray] = []
         prev = x
-        block_cls = nn.remat(MBConvBlock, static_argnums=(2,)) if self.remat else MBConvBlock
+        remat_cls = nn.remat(MBConvBlock, static_argnums=(2,))
+        scale = 2  # stem is stride 2
         for idx, a in enumerate(args):
             rate = self.drop_connect_rate * idx / n_blocks
+            use_remat = self.remat and scale <= self.remat_max_reduction
+            block_cls = remat_cls if use_remat else MBConvBlock
             # train passed positionally: nn.remat static_argnums counts positional args
             x = block_cls(a, drop_rate=rate, dtype=self.dtype, name=f"block_{idx}")(x, train)
+            scale *= a.stride
             if a.stride > 1:
                 endpoints[f"reduction_{len(endpoints) + 1}"] = prev
             elif idx == n_blocks - 1:
