@@ -5,7 +5,9 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 from .bert import BertConfig, BertEncoder, pool_text
-from .clip import MammoCLIP, bert_config_from_model_config, efficientnet_variant
+from .clip import MammoCLIP, bert_config_from_model_config, efficientnet_variant, load_image_encoder
+from .resnet import ResNet
+from .vit import ViT, ViTConfig
 from .efficientnet import (
     EfficientNet,
     default_detector_taps,

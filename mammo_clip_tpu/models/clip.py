@@ -55,9 +55,46 @@ def efficientnet_variant(name: str) -> str:
     }
     if name in aliases:
         return aliases[name]
-    if name.startswith("efficientnet-"):
-        return name.split("-")[1]
+    if name.startswith(("efficientnet-", "tf_efficientnet_")):
+        for variant in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7"):
+            if variant in name:
+                return variant
     raise ValueError(f"unknown image encoder name: {name}")
+
+
+def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
+    """Image-encoder factory (reference: breastclip/model/modules/__init__.py:11-56).
+
+    Every encoder returns a dict with 'pooled' (the global representation: GAP for
+    CNNs, CLS token for ViT) and 'features' (the raw final feature map), so the CLIP
+    module, classifiers, detector, and Mammo-FActOR share one contract.
+    """
+    name = str(config.get("name", "efficientnet-b5"))
+    if name.startswith("resnet"):
+        from .resnet import ResNet
+
+        return ResNet(variant=name, in_channels=config.get("in_channels", 1),
+                      dtype=dtype, name="image_encoder")
+    if name.startswith("vit") or config.get("model_type") == "vit":
+        from .vit import ViT, ViTConfig
+
+        vit_cfg = ViTConfig(
+            patch_size=config.get("patch_size", 16),
+            hidden_size=config.get("hidden_size", 768),
+            num_layers=config.get("num_layers", 12),
+            num_heads=config.get("num_heads", 12),
+            mlp_dim=config.get("mlp_dim", 3072),
+            base_grid=config.get("base_grid", 14),
+        )
+        return ViT(cfg=vit_cfg, in_channels=config.get("in_channels", 1),
+                   dtype=dtype, name="image_encoder")
+    return EfficientNet(
+        variant=efficientnet_variant(name),
+        in_channels=config.get("in_channels", 1),
+        remat=config.get("remat", False),
+        dtype=dtype,
+        name="image_encoder",
+    )
 
 
 class MammoCLIP(nn.Module):
@@ -69,13 +106,7 @@ class MammoCLIP(nn.Module):
     def setup(self):
         mc = dict(self.model_config)
         ie = mc["image_encoder"]
-        self.image_encoder = EfficientNet(
-            variant=efficientnet_variant(ie["name"]),
-            in_channels=ie.get("in_channels", 1),
-            remat=ie.get("remat", False),
-            dtype=self.dtype,
-            name="image_encoder",
-        )
+        self.image_encoder = load_image_encoder(dict(ie), dtype=self.dtype)
         self.text_encoder = BertEncoder(
             bert_config_from_model_config(mc), dtype=self.dtype, name="text_encoder"
         )
