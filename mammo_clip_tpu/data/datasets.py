@@ -233,6 +233,29 @@ class ImageClassificationZSDataset(ImageClassificationDataset):
     the reference factory (datasets/__init__.py:9-24)."""
 
 
+class ImageAlignerDataset:
+    """Paired image + rich concept/threshold metadata for LADDER-style error-slice
+    analysis (reference: breastclip/data/datasets/image_aligner.py:15-153). Every
+    column beyond the image reference is surfaced verbatim in 'meta'."""
+
+    def __init__(self, df: pd.DataFrame, image_store, image_col: str = "image_id"):
+        self.df = df.reset_index(drop=True)
+        self.store = image_store
+        self.image_col = image_col
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def __getitem__(self, index: int) -> Dict:
+        row = self.df.iloc[index]
+        image_id = row[self.image_col]
+        if isinstance(image_id, list):
+            image_id = image_id[0]
+        sid = str(row["patient_id"]) if "patient_id" in row else str(row.get("study_id", ""))
+        meta = {k: row[k] for k in self.df.columns if k != self.image_col}
+        return {"image": self.store.get(sid, str(image_id)), "meta": meta}
+
+
 def load_dataset(data_type: str, **kwargs):
     """Factory mirroring reference breastclip/data/datasets/__init__.py:9-24."""
     table = {
@@ -241,6 +264,7 @@ def load_dataset(data_type: str, **kwargs):
         "imagetext_retrieval": ImageTextRetrievalDataset,
         "image_classification": ImageClassificationDataset,
         "image_classification_zs": ImageClassificationZSDataset,
+        "image_aligner": ImageAlignerDataset,
     }
     if data_type not in table:
         raise KeyError(f"unknown data_type: {data_type}")
