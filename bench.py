@@ -29,7 +29,8 @@ import numpy as np
 # derived in BASELINE.md "throughput baseline" section: ~36 images/sec/chip.
 A100_IMGS_PER_SEC_ESTIMATE = 36.0
 
-BATCH = 4  # reference: 4 samples/GPU (configs/dataloader/dataloader_b5.yaml:6)
+BATCH = 8  # reference ships 4/GPU (configs/dataloader/dataloader_b5.yaml:6); on the
+#            16GB v5e chip bs8 with selective remat is 2.6x faster per image
 WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
