@@ -154,7 +154,8 @@ class Trainer:
                     extra_meta={"epoch": epoch + 1, "val": val_metrics},
                 )
                 key = loss_best_key if loss_best_key in val_metrics else "total"
-                cur = val_metrics.get(key, np.inf)
+                # no validation data -> every epoch "improves" so a best/ always exists
+                cur = val_metrics.get(key, -float(epoch + 1))
                 if cur < best_val:
                     best_val = cur
                     save_checkpoint(
