@@ -97,12 +97,21 @@ def main(argv=None) -> None:
 
     anchors = anchors_for((H, W))
     mean, std = clip_cfg.data.mean, clip_cfg.data.std
-    aug = AugmentConfig(affine_p=0.0, elastic_p=0.0, vflip_p=0.0)  # flips only for boxes-safe default
+    # box-aware augmentation: flips + mild affine, box corners mapped analytically
+    aug = AugmentConfig(hflip_p=0.5, vflip_p=0.5, affine_p=0.5, rotate_deg=10.0,
+                        translate_frac=0.05, scale_min=0.9, scale_max=1.1,
+                        shear_deg=5.0, elastic_p=0.0)
 
     def preprocess(batch, rng):
         batch = dict(batch)
-        batch["images"] = augment_batch(batch["images"], rng, aug, mean, std, train=rng is not None) \
-            if rng is not None else augment_batch(batch["images"], None, aug, mean, std, train=False)
+        if rng is None:
+            batch["images"] = augment_batch(batch["images"], None, aug, mean, std, train=False)
+            return batch
+        from ..ops.augment import augment_batch_with_boxes
+
+        batch["images"], batch["annotations"] = augment_batch_with_boxes(
+            batch["images"], batch["annotations"], rng, aug, mean, std, train=True
+        )
         return batch
 
     tx = build_optimizer({"name": "adam", "lr": args.lr, "grad_clip_norm": 0.1}, lambda s: args.lr)

@@ -105,7 +105,9 @@ def train_classifier(
     rng: Optional[jax.Array] = None,
 ) -> Dict[str, float]:
     """Returns {'best_metric': ..., 'history': [...]}; checkpoints best into workdir."""
-    sched = warmup_cosine_sq_schedule(lr, epochs * steps_per_epoch, warmup_epochs * steps_per_epoch)
+    total_steps = max(epochs * steps_per_epoch, 2)
+    warmup_steps = min(warmup_epochs * steps_per_epoch, total_steps - 1)
+    sched = warmup_cosine_sq_schedule(lr, total_steps, warmup_steps)
     tx = build_optimizer({"name": "adamw", "lr": lr, "weight_decay": weight_decay}, sched)
     state = TrainState(
         step=jnp.asarray(0, jnp.int32),

@@ -263,6 +263,61 @@ def augment_batch(
     return warp_bilinear(x - background, coords) + background
 
 
+def augment_batch_with_boxes(
+    images: jnp.ndarray,
+    boxes: jnp.ndarray,  # (B, N, 5) xyxy+class, -1-padded rows
+    rng: jax.Array,
+    cfg: AugmentConfig,
+    mean: float,
+    std: float,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Box-aware augmentation for detection (reference uses imgaug's box-tracking
+    Sequential, Datasets/dataset_utils.py:54-73): the images are warped with the
+    sampled flips/affine (elastic is disabled for detection — boxes under elastic
+    fields are ill-defined) and the box corners are mapped analytically with the
+    same forward transform; padded (-1) rows stay padded."""
+    x = minmax_standardize(images, mean, std)
+    if not train:
+        return x, boxes
+    B, H, W, _ = x.shape
+    det_cfg = dataclasses.replace(cfg, elastic_p=0.0)
+    mats = sample_affine_matrices(rng, B, H, W, det_cfg)
+    background = (0.0 - mean) / std
+    from .warp import warp_affine_elastic
+
+    beta_max, disp_max = warp_bounds(det_cfg)
+    warped = warp_affine_elastic(x - background, mats, None, beta_max=beta_max,
+                                 disp_max=disp_max) + background
+
+    valid = boxes[..., 4:5] >= 0
+    corners = jnp.stack(
+        [
+            boxes[..., [0, 1]],  # x1,y1
+            boxes[..., [2, 1]],  # x2,y1
+            boxes[..., [0, 3]],  # x1,y2
+            boxes[..., [2, 3]],  # x2,y2
+        ],
+        axis=2,
+    )  # (B, N, 4, 2)
+    Bn, N = corners.shape[:2]
+    mapped = transform_points(mats, corners.reshape(Bn, N * 4, 2)).reshape(Bn, N, 4, 2)
+    new_min = jnp.min(mapped, axis=2)
+    new_max = jnp.max(mapped, axis=2)
+    new_boxes = jnp.concatenate(
+        [
+            jnp.clip(new_min[..., 0:1], 0, W - 1),
+            jnp.clip(new_min[..., 1:2], 0, H - 1),
+            jnp.clip(new_max[..., 0:1], 0, W - 1),
+            jnp.clip(new_max[..., 1:2], 0, H - 1),
+            boxes[..., 4:5],
+        ],
+        axis=-1,
+    )
+    new_boxes = jnp.where(valid, new_boxes, -1.0)
+    return warped, new_boxes
+
+
 def transform_points(matrices_fwd_inv: jnp.ndarray, points_xy: jnp.ndarray) -> jnp.ndarray:
     """Map points with the FORWARD transform given the inverse matrices produced by
     sample_affine_matrices (used to keep detection boxes consistent with the image).

@@ -105,3 +105,35 @@ def test_augment_batch_shapes_and_finite():
     assert out.shape == (4, 64, 48, 1)
     assert out.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_augment_batch_with_boxes_hflip():
+    from mammo_clip_tpu.ops.augment import augment_batch_with_boxes
+
+    cfg = AugmentConfig(hflip_p=1.0, vflip_p=0.0, affine_p=0.0, elastic_p=0.0)
+    rng = np.random.default_rng(7)
+    W = 40
+    img = jnp.asarray(rng.integers(0, 255, (1, 32, W, 1)).astype(np.uint8))
+    boxes = jnp.asarray([[[5.0, 6.0, 15.0, 20.0, 2.0], [-1, -1, -1, -1, -1]]], jnp.float32)
+    out_img, out_boxes = augment_batch_with_boxes(img, boxes, jax.random.PRNGKey(0), cfg, 0.3, 0.25)
+    b = np.asarray(out_boxes)[0, 0]
+    # hflip: x -> (W-1) - x, so [5,15] -> [24,34]; y unchanged; class preserved
+    np.testing.assert_allclose(b, [W - 1 - 15, 6.0, W - 1 - 5, 20.0, 2.0], atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out_boxes)[0, 1], -1.0)  # padding stays
+
+
+def test_augment_batch_with_boxes_rotation_grows_box():
+    from mammo_clip_tpu.ops.augment import augment_batch_with_boxes
+
+    cfg = AugmentConfig(hflip_p=0.0, vflip_p=0.0, affine_p=1.0, rotate_deg=15.0,
+                        translate_frac=0.0, scale_min=1.0, scale_max=1.0,
+                        shear_deg=0.0, elastic_p=0.0)
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 1)).astype(np.uint8))
+    boxes = jnp.asarray([[[20.0, 20.0, 40.0, 40.0, 0.0]]], jnp.float32)
+    out_img, out_boxes = augment_batch_with_boxes(img, boxes, jax.random.PRNGKey(1), cfg, 0.3, 0.25)
+    b = np.asarray(out_boxes)[0, 0]
+    assert b[4] == 0.0
+    # rotated axis-aligned hull of a square is at least as large
+    assert (b[2] - b[0]) >= 19.0 and (b[3] - b[1]) >= 19.0
+    assert np.all(b[:4] >= 0) and np.all(b[:4] <= 63)
