@@ -43,6 +43,7 @@ class Batcher:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = True,
+        sample_weights=None,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
     ):
@@ -53,6 +54,9 @@ class Batcher:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # class-balanced sampling with replacement, the reference's
+        # WeightedRandomSampler option (Datasets/dataset_utils.py:147-165)
+        self.sample_weights = None if sample_weights is None else np.asarray(sample_weights, np.float64)
         self.process_index = jax.process_index() if process_index is None else process_index
         self.process_count = jax.process_count() if process_count is None else process_count
         self.epoch = 0
@@ -68,10 +72,14 @@ class Batcher:
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed * 100_003 + self.epoch)
-            rng.shuffle(order)
+        rng = np.random.default_rng(self.seed * 100_003 + self.epoch)
+        if self.sample_weights is not None:
+            p = self.sample_weights / self.sample_weights.sum()
+            order = rng.choice(n, size=n, replace=True, p=p)
+        else:
+            order = np.arange(n)
+            if self.shuffle:
+                rng.shuffle(order)
         return order[self.process_index :: self.process_count]
 
     def _collate(self, items) -> Dict[str, np.ndarray]:

@@ -211,3 +211,29 @@ def test_prefetch_propagates_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(prefetch_to_device(bad_iter(), depth=1))
+
+
+def test_batcher_weighted_sampling_balances_classes():
+    """Weighted sampling oversamples the rare class (reference WeightedRandomSampler,
+    dataset_utils.py:147-165)."""
+
+    class _TinyDS:
+        def __len__(self):
+            return 100
+
+        def __getitem__(self, i):
+            return {"image": np.full((4, 4), i % 10, np.uint8), "label": float(i < 10)}
+
+    ds = _TinyDS()
+    labels = np.array([1.0 if i < 10 else 0.0 for i in range(100)])
+    weights = np.where(labels == 1.0, 9.0, 1.0)  # rare positives upweighted
+    tok = HashTokenizer(vocab_size=32)
+    b = Batcher(ds, tok, batch_size=20, max_length=4, sample_weights=weights,
+                process_index=0, process_count=1, seed=0)
+    pos_frac = []
+    for epoch in range(5):
+        b.set_epoch(epoch)
+        for batch in b:
+            pos_frac.append(np.mean(batch["labels"]))
+    # unweighted would give ~0.10 positives; weighted targets ~0.50
+    assert 0.3 < np.mean(pos_frac) < 0.7, np.mean(pos_frac)
