@@ -75,6 +75,18 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
 
         return ResNet(variant=name, in_channels=config.get("in_channels", 1),
                       dtype=dtype, name="image_encoder")
+    if name.startswith("swin") or config.get("model_type") == "swin":
+        from .swin import SwinConfig, SwinTransformer
+
+        swin_cfg = SwinConfig(
+            patch_size=config.get("patch_size", 4),
+            embed_dim=config.get("embed_dim", 96),
+            depths=tuple(config.get("depths", (2, 2, 6, 2))),
+            num_heads=tuple(config.get("num_heads", (3, 6, 12, 24))),
+            window=config.get("window", 8),
+        )
+        return SwinTransformer(cfg=swin_cfg, in_channels=config.get("in_channels", 1),
+                               dtype=dtype, name="image_encoder")
     if name.startswith("vit") or config.get("model_type") == "vit":
         from .vit import ViT, ViTConfig
 
@@ -92,6 +104,7 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
         variant=efficientnet_variant(name),
         in_channels=config.get("in_channels", 1),
         remat=config.get("remat", False),
+        pooling=config.get("pooling", "avg"),
         dtype=dtype,
         name="image_encoder",
     )

@@ -221,6 +221,8 @@ class EfficientNet(nn.Module):
     #   1/2..1/remat_max_reduction are rematerialized: the shallow stages hold the
     #   big activations (HBM pressure) while the deep 1/32 stages hold most params;
     #   selective remat saves the memory without recomputing the deep stages.
+    pooling: str = "avg"  # 'avg' (lukemelas path) or 'gem' (the reference's timm
+    #   EfficientNet_Mammo GeM(p=3) option, image_encoder.py:95-116)
     dtype: Any = jnp.float32
 
     @property
@@ -281,8 +283,14 @@ class EfficientNet(nn.Module):
         x = jax.nn.silu(bn("head_bn")(x))
         endpoints[f"reduction_{len(endpoints) + 1}"] = x
 
+        if self.pooling == "gem":
+            from ..ops.pooling import gem_pool
+
+            pooled = gem_pool(x, p=3.0)
+        else:
+            pooled = jnp.mean(x, axis=(1, 2))
         return {
-            "pooled": jnp.mean(x, axis=(1, 2)),
+            "pooled": pooled,
             "features": x,
             "endpoints": endpoints,
             "taps": tuple(taps),

@@ -66,3 +66,25 @@ def test_clip_with_vit_encoder():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(out["text_embeddings"]), axis=1), 1.0, rtol=1e-5
     )
+
+
+def test_swin_shapes_and_shifted_windows():
+    from mammo_clip_tpu.models.swin import SwinConfig, SwinTransformer
+
+    cfg = SwinConfig(patch_size=4, embed_dim=16, depths=(2, 2), num_heads=(2, 2), window=4)
+    model = SwinTransformer(cfg=cfg, in_channels=1)
+    # input must be divisible by patch*window*2^(stages-1) = 4*4*2 = 32
+    x = jnp.zeros((2, 64, 32, 1))
+    v = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)}, x, train=False))()
+    out = model.apply(v, x, train=False)
+    assert out["pooled"].shape == (2, 32)  # embed_dim * 2^(stages-1)
+    assert out["features"].shape == (2, 8, 4, 32)
+    assert np.all(np.isfinite(np.asarray(out["pooled"])))
+
+
+def test_swin_factory_dispatch():
+    from mammo_clip_tpu.models.swin import SwinTransformer
+
+    enc = load_image_encoder({"name": "swin-tiny", "embed_dim": 16, "depths": (1, 1),
+                              "num_heads": (2, 2), "window": 4})
+    assert isinstance(enc, SwinTransformer)
