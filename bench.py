@@ -52,6 +52,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # hardware RNG for dropout/stochastic-depth/augmentation keys: threefry costs
+    # ~16ms per BERT fwd+bwd at this batch (measured); rbg is ~free
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     _enable_compile_cache()
 
     from mammo_clip_tpu.core.config import default_pretrain_config

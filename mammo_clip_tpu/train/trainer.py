@@ -72,6 +72,8 @@ class Trainer:
         import jax.numpy as jnp
 
         self.cfg = cfg
+        if cfg.train.get("rng_impl"):  # e.g. 'unsafe_rbg': hardware RNG, ~free on TPU
+            jax.config.update("jax_default_prng_impl", cfg.train.rng_impl)
         self.ctx = mesh_ctx or MeshContext.create()
         self.workdir = workdir
         dtype = dtype or (jnp.bfloat16 if cfg.train.get("dtype") == "bfloat16" else jnp.float32)
@@ -122,6 +124,21 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + 1)
         log_every = cfg.train.get("log_every", 30)
 
+        # preemption-safe checkpointing: TPU pods get SIGTERM'd on maintenance; flush a
+        # checkpoint before dying so resume loses at most one epoch's steps. (The
+        # reference has no failure handling at all — SURVEY.md §5.)
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_term(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # non-main thread (tests)
+            prev_handler = None
+
         for epoch in range(start_epoch, epochs):
             t_epoch = time.time()
             n_imgs = 0
@@ -129,6 +146,15 @@ class Trainer:
             for i, batch in enumerate(train_batches(epoch)):
                 state, loss_dict = self._train_step(state, batch, rng)
                 n_imgs += int(batch["images"].shape[0])
+                if preempted["flag"]:
+                    if is_master():
+                        save_checkpoint(
+                            f"{self.workdir}/checkpoints", state, config=cfg.to_dict(),
+                            extra_meta={"epoch": epoch, "preempted": True},
+                        )
+                        print(f"SIGTERM: checkpoint flushed at step {int(state.step)}")
+                    self.logger.close()
+                    return state
                 if (i + 1) % log_every == 0:
                     now = time.time()
                     scalars = {f"loss/{k}": float(v) for k, v in loss_dict.items()}
@@ -169,5 +195,7 @@ class Trainer:
                     f"epoch {epoch + 1}/{epochs} done in {time.time() - t_epoch:.1f}s "
                     f"val={val_metrics.get(key, float('nan')):.4f} best={best_val:.4f}"
                 )
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         self.logger.close()
         return state
