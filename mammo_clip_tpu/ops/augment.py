@@ -244,6 +244,8 @@ def augment_batch(
     x = minmax_standardize(images, mean, std)
     if not train:
         return x
+    if max(cfg.hflip_p, cfg.vflip_p, cfg.affine_p, cfg.elastic_p) == 0.0:
+        return x  # statically a no-op pipeline
     B, H, W, _ = x.shape
     k_aff, k_el = jax.random.split(rng)
     mats = sample_affine_matrices(k_aff, B, H, W, cfg)
@@ -254,8 +256,10 @@ def augment_batch(
         from .warp import warp_affine_elastic
 
         beta_max, disp_max = warp_bounds(cfg)
+        # bf16 sweep: halves the warp's HBM traffic; augmentation tolerates bf16
         return warp_affine_elastic(
-            x - background, mats, disp, beta_max=beta_max, disp_max=disp_max
+            x - background, mats, disp, beta_max=beta_max, disp_max=disp_max,
+            compute_dtype=jnp.bfloat16,
         ) + background
     coords = affine_grid(mats, H, W)
     if disp is not None:
