@@ -25,7 +25,7 @@ from ..ops.augment import AugmentConfig, augment_batch
 from ..train.checkpoint import save_checkpoint
 from ..train.optim import build_optimizer
 from ..train.schedule import warmup_cosine_sq_schedule
-from ..train.state import TrainState, create_train_state
+from ..train.state import TrainState
 from ..utils.logging import MetricsLogger
 
 

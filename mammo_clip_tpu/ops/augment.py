@@ -28,8 +28,7 @@ AUC, SURVEY.md §7 "hard parts" #2).
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ params — no loss scaling needed (SURVEY.md §2.2 AMP row).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import flax.struct
 import jax

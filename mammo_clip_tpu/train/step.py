@@ -10,7 +10,6 @@ the update is in-place in HBM.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Optional
 
 import jax
