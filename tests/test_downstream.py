@@ -57,13 +57,15 @@ def test_linear_probe_learns_separable_task(tmp_path):
         for i in range(0, 16, 8):
             yield {"images": jnp.asarray(v_imgs[i : i + 8]), "labels": jnp.asarray(v_labels[i : i + 8])}
 
-    aug = AugmentConfig(hflip_p=0.5, vflip_p=0.0, affine_p=0.0, elastic_p=0.0)
+    # augmentation correctness is covered by tests/test_{warp,augment}.py; train with
+    # the no-op pipeline here so the driver test isn't sensitive to aug randomness
+    aug = AugmentConfig(hflip_p=0.0, vflip_p=0.0, affine_p=0.0, elastic_p=0.0)
     res = train_classifier(
         model,
         {"params": variables["params"], "batch_stats": variables["batch_stats"]},
         train_batches,
         valid_batches,
-        epochs=3,
+        epochs=8,
         steps_per_epoch=4,
         lr=3e-3,
         loss_kind="bce",
