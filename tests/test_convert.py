@@ -186,3 +186,22 @@ def test_full_clip_state_dict_conversion():
         np.linalg.norm(np.asarray(out["image_embeddings"]), axis=1), 1.0, rtol=1e-5
     )
     np.testing.assert_allclose(float(out["logit_scale"]), np.exp(2.6593), rtol=1e-5)
+
+
+def test_text_pooling_modes_match_reference_semantics():
+    """eos/bos/mean pooling (reference clip.py:62-78) on a crafted hidden state."""
+    from mammo_clip_tpu.models.bert import pool_text
+
+    hidden = jnp.asarray(np.arange(2 * 4 * 3, dtype=np.float32).reshape(2, 4, 3))
+    mask = jnp.asarray([[1, 1, 1, 0], [1, 1, 0, 0]], jnp.int32)
+    eos = np.asarray(pool_text(hidden, mask, "eos"))
+    # last real token: index 2 for row 0, index 1 for row 1
+    np.testing.assert_array_equal(eos[0], np.asarray(hidden)[0, 2])
+    np.testing.assert_array_equal(eos[1], np.asarray(hidden)[1, 1])
+    bos = np.asarray(pool_text(hidden, mask, "bos"))
+    np.testing.assert_array_equal(bos, np.asarray(hidden)[:, 0])
+    mean = np.asarray(pool_text(hidden, mask, "mean"))
+    np.testing.assert_allclose(mean[0], np.asarray(hidden)[0, :3].mean(0), rtol=1e-6)
+    np.testing.assert_allclose(mean[1], np.asarray(hidden)[1, :2].mean(0), rtol=1e-6)
+    with pytest.raises(NotImplementedError):
+        pool_text(hidden, mask, "cls")

@@ -237,3 +237,32 @@ def test_batcher_weighted_sampling_balances_classes():
             pos_frac.append(np.mean(batch["labels"]))
     # unweighted would give ~0.10 positives; weighted targets ~0.50
     assert 0.3 < np.mean(pos_frac) < 0.7, np.mean(pos_frac)
+
+
+def test_wordpiece_matches_hf_bert_tokenizer(tmp_path):
+    """Our WordPiece == transformers' BertTokenizer on the same vocab file."""
+    vocab = [
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+        "there", "is", "a", "mass", "in", "the", "right", "breast",
+        "calc", "##ification", "##s", "micro", "##calc", "benign", ",", ".",
+    ]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab) + "\n")
+
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(str(vocab_file), do_lower_case=True)
+    from mammo_clip_tpu.data.tokenizer import WordPieceTokenizer
+
+    ours = WordPieceTokenizer.from_vocab_file(str(vocab_file), lowercase=True)
+
+    texts = [
+        "there is a mass in the right breast.",
+        "benign microcalcifications, there IS calcification",
+        "unknownword mass",
+    ]
+    for t in texts:
+        ref = hf(t, padding="max_length", truncation=True, max_length=16)
+        got = ours([t], max_length=16)
+        np.testing.assert_array_equal(got["input_ids"][0], ref["input_ids"], err_msg=t)
+        np.testing.assert_array_equal(got["attention_mask"][0], ref["attention_mask"], err_msg=t)
