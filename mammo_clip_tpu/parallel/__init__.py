@@ -1,2 +1,2 @@
-from .partitioning import partition_params, PARTITION_RULES
+from .partitioning import partition_params, shard_train_state, PARTITION_RULES
 from .shard_loss import shard_map_clip_loss

@@ -41,6 +41,41 @@ def spec_for_path(path: str) -> P:
     return P()
 
 
+def shard_train_state(state, mesh: Mesh):
+    """Place an entire TrainState on a mesh: params (and the optimizer moments that
+    mirror them) per PARTITION_RULES, every other leaf replicated ON THE MESH.
+
+    This is the production multi-chip entry point: a state built on one device (e.g.
+    create_train_state or a checkpoint template) cannot be mixed with mesh-wide batch
+    arrays under jit — jit refuses computations whose arguments live on different
+    device sets — so every leaf, including scalars like ``step`` and optax's ``count``,
+    must move to the mesh.
+    """
+    param_shardings = partition_params(state.params, mesh)
+    flat_specs = {}
+    for kp, sharding in jax.tree_util.tree_flatten_with_path(param_shardings)[0]:
+        flat_specs["/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)] = sharding
+    replicated = NamedSharding(mesh, P())
+
+    def place(kp, leaf):
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        for p_path, sharding in flat_specs.items():
+            # optimizer moments (mu/nu/...) mirror the param tree: match by suffix
+            if path.endswith(p_path) and getattr(leaf, "shape", None) is not None:
+                return jax.device_put(leaf, sharding)
+        return jax.device_put(leaf, replicated)
+
+    new_params = jax.device_put(state.params, param_shardings)
+    new_opt = jax.tree_util.tree_map_with_path(place, state.opt_state)
+    new_bs = jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated), state.batch_stats)
+    return state.replace(
+        params=new_params,
+        opt_state=new_opt,
+        batch_stats=new_bs,
+        step=jax.device_put(state.step, replicated),
+    )
+
+
 def partition_params(params, mesh: Mesh):
     """Return a pytree of NamedShardings matching ``params``' structure."""
 

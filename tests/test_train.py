@@ -12,7 +12,7 @@ from mammo_clip_tpu.core.config import tiny_test_config
 from mammo_clip_tpu.core.mesh import MeshContext
 from mammo_clip_tpu.losses import build_loss
 from mammo_clip_tpu.models import build_model
-from mammo_clip_tpu.parallel import partition_params
+from mammo_clip_tpu.parallel import partition_params, shard_train_state
 from mammo_clip_tpu.train import (
     build_optimizer,
     create_train_state,
@@ -147,3 +147,31 @@ def test_checkpoint_roundtrip_restores_optimizer_state(tmp_path):
     s_a, ld_a = train_step(state, batch, jax.random.PRNGKey(5))
     s_b, ld_b = train_step(restored, batch, jax.random.PRNGKey(5))
     np.testing.assert_allclose(float(ld_a["total"]), float(ld_b["total"]), rtol=1e-6)
+
+
+def test_checkpoint_roundtrip_with_sharded_state(tmp_path):
+    """Orbax save/restore works when params are TP-sharded over the mesh (the
+    multi-chip production path)."""
+    cfg = tiny_test_config()
+    model, loss_fn, tx, state, batch = _make_everything(cfg, global_batch=8)
+    ctx = MeshContext.create(data=4, model=2)
+    state8 = shard_train_state(state, ctx.mesh)
+    batch8 = ctx.shard_host_batch(batch)
+    step_fn = make_train_step(model, loss_fn, donate=False)
+    state8, _ = step_fn(state8, batch8, jax.random.PRNGKey(0))
+
+    ckpt = str(tmp_path / "sharded")
+    save_checkpoint(ckpt, state8, config=cfg.to_dict())
+
+    # the template dictates restored placement: EVERY leaf must live on the mesh
+    template = shard_train_state(
+        create_train_state(model, batch8, tx, jax.random.PRNGKey(9)), ctx.mesh
+    )
+    restored, rcfg, _ = restore_checkpoint(ckpt, template)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state8.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(restored.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state keeps working in the sharded step
+    state9, ld = step_fn(restored, batch8, jax.random.PRNGKey(1))
+    assert np.isfinite(float(ld["total"]))
