@@ -1,0 +1,69 @@
+"""End-to-end detection learning test: RetinaNet must learn to localize a bright
+square on synthetic data (mAP >> 0 after a few hundred steps). Exercises anchors,
+focal assignment, box regression, decode, static NMS, and VOC mAP together."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mammo_clip_tpu.downstream.detect import evaluate_map
+from mammo_clip_tpu.downstream.experiments import make_detector_steps
+from mammo_clip_tpu.models.retinanet import RetinaNet, anchors_for, detect
+from mammo_clip_tpu.train.optim import build_optimizer
+from mammo_clip_tpu.train.state import TrainState
+
+
+def _box_dataset(n, H=64, W=64, seed=0):
+    """Images with one bright 24x24 square; label = its box."""
+    rng = np.random.default_rng(seed)
+    imgs = rng.normal(0, 0.1, (n, H, W, 1)).astype(np.float32)
+    boxes = np.full((n, 2, 5), -1.0, np.float32)
+    for i in range(n):
+        x1 = rng.integers(2, W - 26)
+        y1 = rng.integers(2, H - 26)
+        imgs[i, y1 : y1 + 24, x1 : x1 + 24, 0] += 2.0
+        boxes[i, 0] = [x1, y1, x1 + 24, y1 + 24, 0]
+    return imgs, boxes
+
+
+@pytest.mark.slow
+def test_retinanet_learns_synthetic_localization():
+    H = W = 64
+    model = RetinaNet(
+        image_encoder_config={"name": "efficientnet-b0", "in_channels": 1},
+        num_classes=1,
+    )
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, H, W, 1)), train=False)
+    )()
+    anchors = anchors_for((H, W))
+    tx = build_optimizer({"name": "adam", "lr": 3e-4, "grad_clip_norm": 1.0}, lambda s: 3e-4)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+    train_step, infer_step = make_detector_steps(model, anchors, lambda b, r: b)
+
+    imgs, boxes = _box_dataset(32)
+    v_imgs, v_boxes = _box_dataset(8, seed=1)
+    bs = 8
+    for step in range(80):
+        i = (step * bs) % 32
+        batch = {
+            "images": jnp.asarray(imgs[i : i + bs]),
+            "annotations": jnp.asarray(boxes[i : i + bs]),
+        }
+        state, ld = train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(ld["total"]))
+
+    out = infer_step(state, {"images": jnp.asarray(v_imgs)})
+    d = detect(out, jnp.asarray(anchors), (H, W), score_threshold=0.05, top_k_per_class=10)
+    dets = [{k: np.asarray(v[i]) for k, v in d.items()} for i in range(len(v_imgs))]
+    res = evaluate_map(dets, list(v_boxes), num_classes=1, score_threshold=0.05,
+                       class_names=["Mass"])
+    # random detector scores ~0; a learning pipeline localizes most squares
+    assert res["mAP"] > 0.4, res  # reaches ~0.75 at 80 steps
