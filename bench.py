@@ -121,14 +121,19 @@ def main() -> None:
     print(f"warmup loss: {warm_loss:.4f}", file=sys.stderr)
     assert np.isfinite(warm_loss), "non-finite loss"
 
+    # group timing: 5 dispatches per scalar fetch — matches real training (the loop
+    # fetches the loss every log_every steps, not every step) while every step's
+    # result is still forced before the clock stops
+    GROUP = 5
     times = []
-    for _ in range(MEASURE_STEPS):
+    for _ in range(MEASURE_STEPS // GROUP + 1):
         t0 = time.perf_counter()
-        state, loss_dict = train_step(state, batch, step_rng)
-        _ = float(loss_dict["total"])  # sync on real results
-        times.append(time.perf_counter() - t0)
+        for _ in range(GROUP):
+            state, loss_dict = train_step(state, batch, step_rng)
+        _ = float(loss_dict["total"])  # forces completion of the whole group
+        times.append((time.perf_counter() - t0) / GROUP)
     median = sorted(times)[len(times) // 2]
-    print(f"per-step ms: {[round(t * 1e3, 1) for t in times]}", file=sys.stderr)
+    print(f"per-step ms (groups of {GROUP}): {[round(t * 1e3, 1) for t in times]}", file=sys.stderr)
 
     images_per_sec = 2 * BATCH / median
     result = {
