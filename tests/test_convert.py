@@ -205,3 +205,40 @@ def test_text_pooling_modes_match_reference_semantics():
     np.testing.assert_allclose(mean[1], np.asarray(hidden)[1, :2].mean(0), rtol=1e-6)
     with pytest.raises(NotImplementedError):
         pool_text(hidden, mask, "cls")
+
+
+def test_export_import_roundtrip(tmp_path):
+    """Flax -> reference .tar -> Flax roundtrip is the identity (both directions of
+    the interop contract)."""
+    import chex
+
+    from mammo_clip_tpu.convert.torch_export import export_clip_checkpoint
+    from mammo_clip_tpu.convert.torch_import import convert_clip_checkpoint
+    from mammo_clip_tpu.core.config import tiny_test_config
+    from mammo_clip_tpu.models import build_model
+
+    cfg = tiny_test_config()
+    model = build_model(cfg.model.to_dict())
+    batch = {
+        "images": jnp.zeros((1, cfg.data.image_size_h, cfg.data.image_size_w, 1)),
+        "input_ids": jnp.ones((1, 8), jnp.int32),
+        "attention_mask": jnp.ones((1, 8), jnp.int32),
+    }
+    variables = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)}, batch, train=False))()
+
+    path = str(tmp_path / "export.tar")
+    export_clip_checkpoint(variables, path, config=cfg.to_dict(), epoch=3, train_loss=0.5)
+
+    restored, ref_cfg = convert_clip_checkpoint(
+        path, num_heads=cfg.model.text_encoder.num_heads
+    )
+    assert ref_cfg["scheduler"]["epochs"] == cfg.scheduler.epochs
+    chex.assert_trees_all_equal_shapes(
+        {"p": variables["params"]}, {"p": restored["params"]}
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["batch_stats"]),
+                    jax.tree_util.tree_leaves(restored["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
