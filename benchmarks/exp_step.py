@@ -1,0 +1,144 @@
+"""Parametrized pretrain-step experiment runner (real TPU).
+
+Explores the memory/throughput space that bench.py reports one point of:
+batch size, remat policy, packed remat residuals. Prints a JSON line with the
+per-step time and (when available) the compiled memory analysis.
+
+Usage: python benchmarks/exp_step.py --batch 12 --remat full [--packed] [--compile-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--remat", choices=["off", "selective", "full"], default="selective")
+    ap.add_argument("--packed", action="store_true", help="pack remat residuals (lane-compact)")
+    ap.add_argument("--bert-remat", action="store_true", help="rematerialize BERT layers")
+    ap.add_argument("--compile-only", action="store_true")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--group", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+    import os
+
+    cache_dir = os.environ.get("MAMMO_CLIP_JAX_CACHE", "/root/repo/.jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mammo_clip_tpu.core.config import default_pretrain_config
+    from mammo_clip_tpu.losses import build_loss
+    from mammo_clip_tpu.models import build_model
+    from mammo_clip_tpu.ops.augment import AugmentConfig, augment_two_views
+    from mammo_clip_tpu.train import (
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+        warmup_cosine_sq_schedule,
+    )
+
+    cfg = default_pretrain_config("b5")
+    cfg.model.image_encoder.remat = args.remat != "off"
+    if args.remat == "full":
+        cfg.model.image_encoder.remat_max_reduction = 32
+    if args.packed:
+        cfg.model.image_encoder.packed_residuals = True
+    if args.bert_remat:
+        cfg.model.text_encoder.gradient_checkpointing = True
+    B = args.batch
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+    seq = cfg.data.text_max_length
+
+    model = build_model(cfg.model.to_dict(), dtype=jnp.bfloat16)
+    loss_fn = build_loss(cfg.loss.to_dict())
+    schedule = warmup_cosine_sq_schedule(cfg.optimizer.lr, total_steps=10_000, warmup_steps=500)
+    tx = build_optimizer(cfg.optimizer.to_dict(), schedule)
+    aug = AugmentConfig.from_dict(cfg.augment.to_dict())
+    mean, std = cfg.data.mean, cfg.data.std
+
+    def preprocess(batch, rng):
+        batch = dict(batch)
+        batch["images"], batch["image_views"] = augment_two_views(
+            batch["images"], batch["image_views"], rng, aug, mean, std, train=True
+        )
+        return batch
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, cfg.model.text_encoder.vocab_size, size=(B, seq), dtype=np.int32)
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 255, size=(B, h, w, 1), dtype=np.uint8)),
+        "image_views": jnp.asarray(rng.integers(0, 255, size=(B, h, w, 1), dtype=np.uint8)),
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((B, seq), jnp.int32),
+        "input_ids2": jnp.asarray(ids),
+        "attention_mask2": jnp.ones((B, seq), jnp.int32),
+    }
+    init_example = dict(batch)
+    init_example["images"] = jnp.zeros((B, h, w, 1), jnp.float32)
+    init_example["image_views"] = jnp.zeros((B, h, w, 1), jnp.float32)
+    state = create_train_state(model, init_example, tx, jax.random.PRNGKey(0))
+    train_step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
+
+    t0 = time.perf_counter()
+    lowered = train_step.lower(state, batch, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        mem = {
+            "argument_gb": round(ma.argument_size_in_bytes / 2**30, 3),
+            "output_gb": round(ma.output_size_in_bytes / 2**30, 3),
+            "temp_gb": round(ma.temp_size_in_bytes / 2**30, 3),
+            "peak_extra_gb": round(
+                (ma.temp_size_in_bytes + ma.output_size_in_bytes) / 2**30, 3
+            ),
+        }
+    except Exception as e:  # memory_analysis availability varies per backend
+        mem = {"memory_analysis_error": str(e)}
+
+    out = {
+        "batch": B,
+        "remat": args.remat,
+        "packed": args.packed,
+        "compile_s": round(compile_s, 1),
+        **mem,
+    }
+    if not args.compile_only:
+        step_rng = jax.random.PRNGKey(1)
+        for _ in range(3):
+            state, loss_dict = train_step(state, batch, step_rng)
+            warm = float(loss_dict["total"])
+        assert np.isfinite(warm), f"non-finite loss {warm}"
+        times = []
+        for _ in range(max(1, args.steps // args.group)):
+            t0 = time.perf_counter()
+            for _ in range(args.group):
+                state, loss_dict = train_step(state, batch, step_rng)
+            _ = float(loss_dict["total"])
+            times.append((time.perf_counter() - t0) / args.group)
+        median = sorted(times)[len(times) // 2]
+        out["per_step_ms"] = round(median * 1e3, 1)
+        out["images_per_sec"] = round(2 * B / median, 2)
+        print(f"groups: {[round(t * 1e3, 1) for t in times]}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,7 @@ class ImageTextDataset:
         self.split = split
         self.image_view_aug = image_view_aug
         self.image_aug_other_image = image_aug_other_image
+        self._base_seed = seed
         self.seed = seed
         self.prompt_bank = build_prompt_bank() if "CC_FINDING" in df.columns else None
         self.has_backtranslation = "text_augment" in df.columns
@@ -148,8 +149,12 @@ class ImageTextDataset:
         return out
 
     def reseed(self, epoch: int) -> None:
-        """Vary sampling across epochs (replaces DistributedSampler.set_epoch)."""
-        self.seed = epoch
+        """Vary sampling across epochs (replaces DistributedSampler.set_epoch).
+
+        The epoch is folded into the constructor seed rather than replacing it, so
+        runs started with different ``seed=`` values keep sampling differently after
+        epoch 0, and epoch N of two different runs is not identical."""
+        self.seed = self._base_seed * 715_827_883 + epoch
 
 
 class ImageTextContrastiveDataset:

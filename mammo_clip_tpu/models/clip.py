@@ -104,6 +104,8 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
         variant=efficientnet_variant(name),
         in_channels=config.get("in_channels", 1),
         remat=config.get("remat", False),
+        remat_max_reduction=config.get("remat_max_reduction", 16),
+        packed_residuals=config.get("packed_residuals", False),
         pooling=config.get("pooling", "avg"),
         dtype=dtype,
         name="image_encoder",

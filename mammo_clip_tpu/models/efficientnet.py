@@ -163,13 +163,28 @@ class SqueezeExcite(nn.Module):
 
 
 class MBConvBlock(nn.Module):
+    """One MBConv block.
+
+    ``packed_in_hw`` / ``packed_out`` implement lane-compact I/O: a bf16 NHWC tensor
+    with C < 128 pads its lane dimension to 128 in HBM (up to 5.3x wasted bytes for
+    C=24), and with remat the block INPUT is exactly the residual XLA keeps alive.
+    Packing the boundary tensors as (N, H, W*C) makes the saved residuals compact,
+    which is what unlocks batch sizes > 8 on a 16 GB chip. Pure reshapes — the param
+    tree and the math are unchanged (checkpoint-compatible).
+    """
+
     args: BlockArgs
     drop_rate: float
     dtype: Any = jnp.float32
+    packed_in_hw: Tuple[int, int] = ()  # (H, W) when the input arrives packed
+    packed_out: bool = False  # emit (N, H, W*C) instead of NHWC
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         a = self.args
+        if self.packed_in_hw:
+            h_in, w_in = self.packed_in_hw
+            x = x.reshape(x.shape[0], h_in, w_in, a.in_filters)
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
@@ -203,6 +218,9 @@ class MBConvBlock(nn.Module):
             if train and self.drop_rate > 0.0:
                 x = drop_connect(x, self.make_rng("stochastic"), self.drop_rate, deterministic=False)
             x = x + inputs
+        if self.packed_out:
+            n, ho, wo, co = x.shape
+            x = x.reshape(n, ho, wo * co)
         return x
 
 
@@ -221,6 +239,9 @@ class EfficientNet(nn.Module):
     #   1/2..1/remat_max_reduction are rematerialized: the shallow stages hold the
     #   big activations (HBM pressure) while the deep 1/32 stages hold most params;
     #   selective remat saves the memory without recomputing the deep stages.
+    packed_residuals: bool = False  # with remat on, store the remat-saved block
+    #   inputs lane-compact as (N, H, W*C) — see MBConvBlock docstring. Math- and
+    #   checkpoint-identical; cuts the dominant HBM residency up to 5.3x.
     pooling: str = "avg"  # 'avg' (lukemelas path) or 'gem' (the reference's timm
     #   EfficientNet_Mammo GeM(p=3) option, image_encoder.py:95-116)
     dtype: Any = jnp.float32
@@ -264,20 +285,48 @@ class EfficientNet(nn.Module):
         prev = x
         remat_cls = nn.remat(MBConvBlock, static_argnums=(2,))
         scale = 2  # stem is stride 2
+        # packed-boundary bookkeeping: when x is packed it is (N, H, W*C) and
+        # (cur_h, cur_w, cur_c) carries the logical shape (all static at trace time)
+        cur_h, cur_w, cur_c = x.shape[1], x.shape[2], x.shape[3]
+        x_packed = False
+
+        def unpacked(t):
+            return t.reshape(t.shape[0], cur_h, cur_w, cur_c) if x_packed else t
+
         for idx, a in enumerate(args):
             rate = self.drop_connect_rate * idx / n_blocks
             use_remat = self.remat and scale <= self.remat_max_reduction
             block_cls = remat_cls if use_remat else MBConvBlock
+            # pack boundaries only where remat keeps the input alive AND the lane
+            # dim is actually padded (C % 128 != 0)
+            want_packed_out = (
+                self.packed_residuals and use_remat and a.out_filters % 128 != 0
+            )
+            if self.packed_residuals and use_remat and not x_packed and cur_c % 128 != 0:
+                x = x.reshape(x.shape[0], cur_h, cur_w * cur_c)
+                x_packed = True
             # train passed positionally: nn.remat static_argnums counts positional args
-            x = block_cls(a, drop_rate=rate, dtype=self.dtype, name=f"block_{idx}")(x, train)
+            x = block_cls(
+                a,
+                drop_rate=rate,
+                dtype=self.dtype,
+                packed_in_hw=(cur_h, cur_w) if x_packed else (),
+                packed_out=want_packed_out,
+                name=f"block_{idx}",
+            )(x, train)
             scale *= a.stride
+            cur_h = -(-cur_h // a.stride)  # SAME padding: ceil division
+            cur_w = -(-cur_w // a.stride)
+            cur_c = a.out_filters
+            x_packed = want_packed_out
             if a.stride > 1:
                 endpoints[f"reduction_{len(endpoints) + 1}"] = prev
             elif idx == n_blocks - 1:
-                endpoints[f"reduction_{len(endpoints) + 1}"] = x
+                endpoints[f"reduction_{len(endpoints) + 1}"] = unpacked(x)
             if idx in self.feature_taps:
-                taps.append(x)
-            prev = x
+                taps.append(unpacked(x))
+            prev = unpacked(x)
+        x = unpacked(x)
 
         x = nn.Conv(head_filters(self.variant), (1, 1), use_bias=False, dtype=self.dtype, name="head_conv")(x)
         x = jax.nn.silu(bn("head_bn")(x))

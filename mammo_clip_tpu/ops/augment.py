@@ -266,6 +266,27 @@ def augment_batch(
     return warp_bilinear(x - background, coords) + background
 
 
+def augment_two_views(
+    images: jnp.ndarray,
+    views: jnp.ndarray,
+    rng: jax.Array,
+    cfg: AugmentConfig,
+    mean: float,
+    std: float,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Augment both CLIP views in ONE warp invocation.
+
+    The two-pass warp has per-call fixed costs (shear-sweep setup, displacement
+    synthesis dispatches); batching the views halves them. Normalization is per-image,
+    and each concatenated sample gets its own PRNG draw, so this is distribution-
+    identical to two independent augment_batch calls."""
+    B = images.shape[0]
+    both = jnp.concatenate([images, views], axis=0)
+    out = augment_batch(both, rng, cfg, mean, std, train=train)
+    return out[:B], out[B:]
+
+
 def augment_batch_with_boxes(
     images: jnp.ndarray,
     boxes: jnp.ndarray,  # (B, N, 5) xyxy+class, -1-padded rows

@@ -25,13 +25,24 @@ from .shard_writer import write_packed_shards
 
 
 def read_dicom_pixels(path: str) -> Tuple[np.ndarray, str]:
-    """(pixel_array, photometric). Requires pydicom (gated)."""
-    try:
+    """(pixel_array, photometric).
+
+    Primary path: the first-party native codec (GDCM-backed, preprocess/native/
+    mammo_dicom.cpp) — decodes the RSNA JPEG-2000 and VinDr JPEG-Lossless transfer
+    syntaxes with no Python imaging dependencies. pydicom remains a fallback for
+    environments without the native build."""
+    from .dicom_native import dicom_available, read_dicom_u16
+
+    if dicom_available():
+        pixels, mono1 = read_dicom_u16(path)
+        return pixels, "MONOCHROME1" if mono1 else "MONOCHROME2"
+    try:  # pragma: no cover - env without the native codec
         import pydicom
-    except ImportError as e:  # pragma: no cover - env without pydicom
+    except ImportError as e:
         raise RuntimeError(
-            "pydicom is not installed in this environment; DICOM conversion requires "
-            "it (the rest of the framework does not)."
+            "neither the native DICOM codec (GDCM) nor pydicom is available; "
+            "DICOM conversion requires one of them (the rest of the framework "
+            "does not)."
         ) from e
     ds = pydicom.dcmread(path)
     return ds.pixel_array, str(getattr(ds, "PhotometricInterpretation", "MONOCHROME2"))

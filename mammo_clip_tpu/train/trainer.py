@@ -25,7 +25,7 @@ from ..core.config import Config
 from ..core.mesh import MeshContext, is_master
 from ..losses import build_loss
 from ..models import build_model
-from ..ops.augment import AugmentConfig, augment_batch
+from ..ops.augment import AugmentConfig, augment_batch, augment_two_views
 from ..utils.logging import MetricsLogger
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .optim import build_optimizer
@@ -46,13 +46,23 @@ def make_clip_preprocess(cfg: Config) -> Callable:
             if "image_views" in batch:
                 batch["image_views"] = augment_batch(batch["image_views"], None, aug, mean, std, train=False)
             return batch
-        k1, k2 = jax.random.split(rng)
-        batch["images"] = augment_batch(batch["images"], k1, aug, mean, std, train=True)
         if "image_views" in batch:
-            batch["image_views"] = augment_batch(batch["image_views"], k2, aug, mean, std, train=True)
+            # one warp invocation for both views (halves the fixed per-call costs)
+            batch["images"], batch["image_views"] = augment_two_views(
+                batch["images"], batch["image_views"], rng, aug, mean, std, train=True
+            )
+        else:
+            batch["images"] = augment_batch(batch["images"], rng, aug, mean, std, train=True)
         return batch
 
     return preprocess
+
+
+
+def _finite_or_none(x):
+    """JSON-safe best-val: meta.json must stay standard JSON (no Infinity)."""
+    x = float(x)
+    return x if np.isfinite(x) else None
 
 
 class Trainer:
@@ -107,10 +117,22 @@ class Trainer:
         assert steps_per_epoch, "steps_per_epoch required (len(batcher))"
         state, tx = self._build_state(example, steps_per_epoch)
         start_epoch = 0
+        best_val = np.inf
         if resume:
             try:
                 state, _, meta = restore_checkpoint(f"{self.workdir}/checkpoints", state)
+                # orbax restores arrays COMMITTED to the template's device; committed
+                # single-device leaves cannot mix with mesh-sharded batches in the
+                # jitted step (fresh-init leaves are uncommitted, which is why the
+                # first fit works). Round-trip through host to uncommit.
+                state = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, state
+                )
                 start_epoch = int(meta.get("epoch", int(state.step) // steps_per_epoch))
+                # restore the best-so-far metric so the first post-resume epoch
+                # cannot overwrite best/ with a worse checkpoint
+                if meta.get("best_val") is not None:
+                    best_val = float(meta["best_val"])
                 if is_master():
                     print(f"resumed from epoch {start_epoch} (step {int(state.step)})")
             except (AssertionError, FileNotFoundError):
@@ -119,7 +141,6 @@ class Trainer:
         self._train_step = make_train_step(self.model, self.loss_fn, preprocess=self.preprocess)
         self._eval_step = make_eval_step(self.model, self.loss_fn, preprocess=self.preprocess)
 
-        best_val = np.inf
         loss_best_key = cfg.train.get("loss_best", "total")
         rng = jax.random.PRNGKey(cfg.seed + 1)
         log_every = cfg.train.get("log_every", 30)
@@ -150,7 +171,8 @@ class Trainer:
                     if is_master():
                         save_checkpoint(
                             f"{self.workdir}/checkpoints", state, config=cfg.to_dict(),
-                            extra_meta={"epoch": epoch, "preempted": True},
+                            extra_meta={"epoch": epoch, "preempted": True,
+                                        "best_val": _finite_or_none(best_val)},
                         )
                         print(f"SIGTERM: checkpoint flushed at step {int(state.step)}")
                     self.logger.close()
@@ -173,12 +195,6 @@ class Trainer:
                 self.logger.log(int(state.step), {f"loss/{k}": v for k, v in val_metrics.items()}, prefix="valid")
 
             if is_master():
-                save_checkpoint(
-                    f"{self.workdir}/checkpoints",
-                    state,
-                    config=cfg.to_dict(),
-                    extra_meta={"epoch": epoch + 1, "val": val_metrics},
-                )
                 key = loss_best_key if loss_best_key in val_metrics else "total"
                 # no validation data -> every epoch "improves" so a best/ always exists
                 cur = val_metrics.get(key, -float(epoch + 1))
@@ -191,6 +207,15 @@ class Trainer:
                         extra_meta={"epoch": epoch + 1, "val": val_metrics},
                         max_to_keep=1,
                     )
+                # best_val is updated first so the resume checkpoint records the
+                # metric INCLUDING this epoch (resume must never regress best/)
+                save_checkpoint(
+                    f"{self.workdir}/checkpoints",
+                    state,
+                    config=cfg.to_dict(),
+                    extra_meta={"epoch": epoch + 1, "val": val_metrics,
+                                "best_val": _finite_or_none(best_val)},
+                )
                 print(
                     f"epoch {epoch + 1}/{epochs} done in {time.time() - t_epoch:.1f}s "
                     f"val={val_metrics.get(key, float('nan')):.4f} best={best_val:.4f}"

@@ -137,3 +137,23 @@ def test_augment_batch_with_boxes_rotation_grows_box():
     # rotated axis-aligned hull of a square is at least as large
     assert (b[2] - b[0]) >= 19.0 and (b[3] - b[1]) >= 19.0
     assert np.all(b[:4] >= 0) and np.all(b[:4] <= 63)
+
+
+def test_augment_two_views_matches_concat():
+    """augment_two_views == one augment_batch over the concatenated batch, split."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mammo_clip_tpu.ops.augment import AugmentConfig, augment_batch, augment_two_views
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 255, (3, 32, 24, 1), dtype=np.uint8))
+    b = jnp.asarray(rng.integers(0, 255, (3, 32, 24, 1), dtype=np.uint8))
+    cfg = AugmentConfig()
+    key = jax.random.PRNGKey(7)
+    o1, o2 = augment_two_views(a, b, key, cfg, 0.3, 0.25, train=True)
+    both = augment_batch(jnp.concatenate([a, b], axis=0), key, cfg, 0.3, 0.25, train=True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(both[:3]))
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(both[3:]))
+    assert o1.shape == a.shape and o2.shape == b.shape

@@ -93,3 +93,41 @@ def test_se_squeeze_uses_input_filters():
     # block_1 (stage 2 first block): in=16, expand=6 -> expanded 96, squeeze = int(16*0.25)=4
     se_reduce = params["block_1"]["se"]["reduce"]["kernel"]
     assert se_reduce.shape == (1, 1, 96, 4)
+
+
+def test_packed_residuals_identical():
+    """packed_residuals is a pure layout change: forward bit-identical, gradients
+    within reassociation noise, param tree unchanged (checkpoint-compatible)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mammo_clip_tpu.models.efficientnet import EfficientNet
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 48, 1)), jnp.float32)
+    kw = dict(variant="b0", in_channels=1, remat=True, remat_max_reduction=32)
+    m1 = EfficientNet(**kw, packed_residuals=False)
+    m2 = EfficientNet(**kw, packed_residuals=True)
+    v = jax.jit(lambda x: m1.init({"params": jax.random.PRNGKey(0)}, x, False))(x)
+    # identical param tree: the packed variant initializes to the same structure
+    v2 = jax.jit(lambda x: m2.init({"params": jax.random.PRNGKey(0)}, x, False))(x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+    out1 = jax.jit(lambda v, x: m1.apply(v, x, False))(v, x)
+    out2 = jax.jit(lambda v, x: m2.apply(v, x, False))(v, x)
+    np.testing.assert_array_equal(np.asarray(out1["pooled"]), np.asarray(out2["pooled"]))
+    for k in out1["endpoints"]:
+        assert out1["endpoints"][k].shape == out2["endpoints"][k].shape
+
+    def loss(v, x, m):
+        out, mut = m.apply(v, x, True, rngs={"stochastic": jax.random.PRNGKey(3)},
+                           mutable=["batch_stats"])
+        return jnp.sum(out["pooled"].astype(jnp.float32) ** 2), mut
+
+    (l1, _), g1 = jax.jit(jax.value_and_grad(loss, has_aux=True), static_argnums=2)(v, x, m1)
+    (l2, _), g2 = jax.jit(jax.value_and_grad(loss, has_aux=True), static_argnums=2)(v, x, m2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    f1 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g1)])
+    f2 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g2)])
+    rel = float(jnp.linalg.norm(f1 - f2) / jnp.linalg.norm(f1))
+    assert rel < 1e-5, rel  # measured 8.6e-7; remat-on-vs-off fusion noise is 3.8e-5

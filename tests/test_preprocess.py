@@ -105,3 +105,67 @@ def test_native_fused_preprocess(native):
     assert out.max() > 100
     y0, y1, x0, x1 = bounds
     assert x0 == 0 and x1 < raw.shape[1]
+
+
+# ------------------------------------------------------------------ native DICOM codec
+
+
+@pytest.fixture(scope="module")
+def dicom_native():
+    from mammo_clip_tpu.preprocess import dicom_native as dn
+
+    if not dn.dicom_available():
+        pytest.skip("no GDCM toolchain")
+    return dn
+
+
+def test_dicom_roundtrip_all_dataset_syntaxes(dicom_native, tmp_path):
+    """Encode->decode is bit-exact in every transfer syntax the datasets use:
+    JPEG-2000 lossless (RSNA — reference used DALI), JPEG Lossless process 14 SV1
+    (VinDr — reference used dicomsdl), JPEG-LS, and uncompressed."""
+    dn = dicom_native
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 4096, (120, 90)).astype(np.uint16)
+    for ts in (dn.TS_RAW, dn.TS_J2K, dn.TS_JLS, dn.TS_JPEG_LOSSLESS):
+        for mono1 in (False, True):
+            p = str(tmp_path / f"t{ts}_{mono1}.dcm")
+            dn.write_dicom_u16(p, img, ts=ts, monochrome1=mono1)
+            out, got_mono1 = dn.read_dicom_u16(p)
+            np.testing.assert_array_equal(out, img)
+            assert got_mono1 == mono1
+
+
+def test_dicom_tool_end_to_end_without_pydicom(dicom_native, tmp_path):
+    """The L0 entry point: J2K/JPEG-lossless DICOMs -> packed uint8 shards via the
+    native decode + fused native preprocess, no pydicom anywhere."""
+    import sys
+
+    assert "pydicom" not in sys.modules
+    dn = dicom_native
+    from mammo_clip_tpu.preprocess import dicom_tool
+
+    in_dir = tmp_path / "dicoms"
+    in_dir.mkdir()
+    base = _synthetic_mammogram(h=200, w=160, side="left").astype(np.uint16) * 257
+    dn.write_dicom_u16(str(in_dir / "rsna_case.dicom"), base, ts=dn.TS_J2K)
+    dn.write_dicom_u16(str(in_dir / "vindr_case.dicom"), base, ts=dn.TS_JPEG_LOSSLESS,
+                       monochrome1=True)
+
+    out_dir = tmp_path / "shards"
+    bounds_csv = tmp_path / "bounds.csv"
+    dicom_tool.main([
+        "--in-dir", str(in_dir), "--out-dir", str(out_dir),
+        "--height", "152", "--width", "91", "--bounds-csv", str(bounds_csv),
+    ])
+
+    store = PackedShardStore(str(out_dir))
+    a = store.get("", "rsna_case")
+    b = store.get("", "vindr_case")
+    assert a.shape == (152, 91) and b.shape == (152, 91)
+    assert a.max() > 100  # breast pixels survived the crop+resize
+    # MONOCHROME1 is inverted relative to MONOCHROME2 of the same raw pixels:
+    # after min-max normalization the two should be (approximately) complementary
+    interior = np.abs(a.astype(int) + b.astype(int) - 255)
+    assert np.median(interior) <= 2
+    rows = pd.read_csv(bounds_csv)
+    assert set(rows["image_id"]) == {"rsna_case", "vindr_case"}

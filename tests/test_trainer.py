@@ -92,3 +92,74 @@ def test_preprocess_eval_mode_normalizes_only():
     out2 = pp(dict(batch), None)
     np.testing.assert_array_equal(np.asarray(out1["images"]), np.asarray(out2["images"]))
     assert out1["images"].dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_resume_preserves_best_val(tmp_path):
+    """Regression: resume must NOT reset best_val to inf — the first post-resume
+    epoch used to overwrite best/ even when worse than the pre-preemption best."""
+    import glob
+
+    cfg = tiny_test_config()
+    cfg.scheduler.update(epochs=1, warmup_epochs=0)
+    cfg.train.update(log_every=100)
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+
+    store = SyntheticImageStore((h, w))
+    tok = HashTokenizer(vocab_size=cfg.model.text_encoder.vocab_size)
+    train_b = Batcher(ImageTextDataset(_synthetic_df(8), store, split="train"), tok,
+                      batch_size=8, max_length=cfg.data.text_max_length,
+                      process_index=0, process_count=1)
+    valid_b = Batcher(ImageTextDataset(_synthetic_df(8), store, split="valid"), tok,
+                      batch_size=8, max_length=cfg.data.text_max_length,
+                      shuffle=False, process_index=0, process_count=1)
+    ctx = MeshContext.create(data=8, model=1)
+
+    def train_batches(epoch):
+        train_b.set_epoch(epoch)
+        return prefetch_to_device(iter(train_b), ctx)
+
+    def valid_batches(epoch):
+        return prefetch_to_device(iter(valid_b), ctx)
+
+    workdir = str(tmp_path / "run")
+    Trainer(cfg, mesh_ctx=ctx, workdir=workdir).fit(
+        train_batches, valid_batches, steps_per_epoch=len(train_b))
+
+    metas = sorted(glob.glob(os.path.join(workdir, "checkpoints", "*", "meta.json")))
+    assert metas, "no checkpoint meta written"
+    meta = json.load(open(metas[-1]))
+    assert meta.get("best_val") is not None  # persisted
+
+    # pretend the pre-preemption best was unbeatably good
+    meta["best_val"] = -1e9
+    json.dump(meta, open(metas[-1], "w"))
+    best_meta_before = json.load(open(glob.glob(os.path.join(workdir, "best", "*", "meta.json"))[0]))
+
+    cfg.scheduler.update(epochs=2)  # one more epoch after resume
+    Trainer(cfg, mesh_ctx=ctx, workdir=workdir).fit(
+        train_batches, valid_batches, steps_per_epoch=len(train_b), resume=True)
+
+    best_meta_after = json.load(open(glob.glob(os.path.join(workdir, "best", "*", "meta.json"))[0]))
+    assert best_meta_after["epoch"] == best_meta_before["epoch"], (
+        "resume overwrote best/ despite a better recorded best_val")
+
+
+def test_reseed_preserves_base_seed():
+    """Regression: reseed(epoch) used to set self.seed = epoch, making every run
+    sample identically from epoch 1 onward regardless of its constructor seed."""
+    df = _synthetic_df(8)
+    store = SyntheticImageStore((16, 16))
+    ds_a = ImageTextDataset(df, store, split="train", seed=0)
+    ds_b = ImageTextDataset(df, store, split="train", seed=1)
+
+    def texts(ds):
+        return [ds[i]["text"] for i in range(len(ds))]
+
+    ds_a.reseed(1)
+    ds_b.reseed(1)
+    assert texts(ds_a) != texts(ds_b), "different base seeds must sample differently at epoch 1"
+
+    before = texts(ds_a)
+    ds_a.reseed(2)
+    assert texts(ds_a) != before, "epochs must sample differently"
