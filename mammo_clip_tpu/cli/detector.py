@@ -97,10 +97,14 @@ def main(argv=None) -> None:
 
     anchors = anchors_for((H, W))
     mean, std = clip_cfg.data.mean, clip_cfg.data.std
-    # box-aware augmentation: flips + mild affine, box corners mapped analytically
-    aug = AugmentConfig(hflip_p=0.5, vflip_p=0.5, affine_p=0.5, rotate_deg=10.0,
-                        translate_frac=0.05, scale_min=0.9, scale_max=1.1,
-                        shear_deg=5.0, elastic_p=0.0)
+    # box-aware augmentation matching the reference detector recipe — flips,
+    # Affine(rotate 20, translate 0.1, scale 0.8-1.2, shear 20), Elastic(10, 15)
+    # (reference: Datasets/dataset_utils.py:59-66, train_detector.py:48-49), with
+    # box corners mapped analytically through the SAME affine+elastic transform
+    aug = AugmentConfig(hflip_p=0.5, vflip_p=0.5, affine_p=0.5, rotate_deg=20.0,
+                        translate_frac=0.1, scale_min=0.8, scale_max=1.2,
+                        shear_deg=20.0, elastic_p=0.5, elastic_alpha=10.0,
+                        elastic_sigma=15.0)
 
     def preprocess(batch, rng):
         batch = dict(batch)

@@ -60,7 +60,15 @@ def convert_efficientnet(sd: Dict[str, Any], prefix: str = "image_encoder.") -> 
     matching models/efficientnet.EfficientNet."""
     params: Dict = {}
     stats: Dict = {}
-    _set(params, ("stem_conv", "kernel"), _conv(sd[prefix + "_conv_stem.weight"]))
+    stem = _conv(sd[prefix + "_conv_stem.weight"])  # HWIO
+    if stem.shape[2] == 3:
+        # The public checkpoints are trained on grayscale replicated to RGB
+        # (reference: imagetext.py:121 Image.open(...).convert('RGB'); the custom
+        # EfficientNet keeps its 3-channel stem, efficientnet_custom.py:174). On
+        # replicated-gray inputs conv3ch(x,x,x) == conv1ch(x) with the kernel summed
+        # over the input axis — EXACT, and saves 3x input traffic on TPU.
+        stem = stem.sum(axis=2, keepdims=True)
+    _set(params, ("stem_conv", "kernel"), stem)
     _convert_bn(sd, prefix + "_bn0", params, stats, ("stem_bn",))
 
     n_blocks = 1 + max(

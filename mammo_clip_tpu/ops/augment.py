@@ -126,11 +126,12 @@ def _gaussian_kernel(sigma: float, radius: int) -> jnp.ndarray:
     return k / jnp.sum(k)
 
 
-def sample_elastic_displacement(
+def sample_elastic_lowres(
     rng: jax.Array, batch: int, height: int, width: int, cfg: AugmentConfig
 ) -> jnp.ndarray:
-    """(B, H, W, 2) displacement in pixels: blurred uniform noise * alpha, synthesized
-    at 1/elastic_downsample resolution and bilinearly upsampled."""
+    """(B, hh, ww, 2) low-res displacement field IN PIXELS (alpha and the per-sample
+    p-gate already applied): blurred uniform noise at 1/elastic_downsample resolution.
+    Upsample bilinearly for warping, or interpolate at points for box tracking."""
     d = cfg.elastic_downsample
     hh, ww = max(height // d, 2), max(width // d, 2)
     k_noise, k_gate = jax.random.split(rng)
@@ -147,9 +148,49 @@ def sample_elastic_displacement(
     blurred = jax.lax.conv_general_dilated(
         blurred, kw, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
     blurred = blurred.reshape(batch, 2, hh, ww).transpose(0, 2, 3, 1)
-    disp = jax.image.resize(blurred, (batch, height, width, 2), method="bilinear")
     gate = (jax.random.uniform(k_gate, (batch, 1, 1, 1)) < cfg.elastic_p).astype(jnp.float32)
-    return disp * cfg.elastic_alpha * gate
+    return blurred * cfg.elastic_alpha * gate
+
+
+def sample_elastic_displacement(
+    rng: jax.Array, batch: int, height: int, width: int, cfg: AugmentConfig
+) -> jnp.ndarray:
+    """(B, H, W, 2) displacement in pixels: the low-res field bilinearly upsampled
+    (spectrally equivalent to full-res blurring at sigma, 64x cheaper)."""
+    lowres = sample_elastic_lowres(rng, batch, height, width, cfg)
+    return jax.image.resize(lowres, (batch, height, width, 2), method="bilinear")
+
+
+def elastic_at_points(lowres: jnp.ndarray, points_xy: jnp.ndarray,
+                      height: int, width: int) -> jnp.ndarray:
+    """Interpolate the low-res displacement field at full-res pixel coords.
+
+    Matches jax.image.resize(..., 'bilinear') half-pixel-center semantics, so the
+    value here equals the upsampled field the image warp actually used.
+    lowres: (B, hh, ww, 2); points_xy: (B, P, 2) in (x, y) full-res pixels -> (B, P, 2).
+    """
+    B, hh, ww, _ = lowres.shape
+    u = (points_xy[..., 0] + 0.5) * (ww / width) - 0.5  # (B, P) low-res x
+    v = (points_xy[..., 1] + 0.5) * (hh / height) - 0.5
+    u = jnp.clip(u, 0.0, ww - 1.0)
+    v = jnp.clip(v, 0.0, hh - 1.0)
+    u0 = jnp.clip(jnp.floor(u), 0, ww - 2) if ww > 1 else jnp.zeros_like(u)
+    v0 = jnp.clip(jnp.floor(v), 0, hh - 2) if hh > 1 else jnp.zeros_like(v)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    flat = lowres.reshape(B, hh * ww, 2)
+
+    def tap(vi, ui):
+        idx = (vi * ww + ui).astype(jnp.int32)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    d00 = tap(v0, u0)
+    d01 = tap(v0, u0 + 1)
+    d10 = tap(v0 + 1, u0)
+    d11 = tap(v0 + 1, u0 + 1)
+    top = d00 * (1 - fu) + d01 * fu
+    bot = d10 * (1 - fu) + d11 * fu
+    return top * (1 - fv) + bot * fv
 
 
 # ------------------------------------------------------------------------------------
@@ -297,21 +338,35 @@ def augment_batch_with_boxes(
     train: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Box-aware augmentation for detection (reference uses imgaug's box-tracking
-    Sequential, Datasets/dataset_utils.py:54-73): the images are warped with the
-    sampled flips/affine (elastic is disabled for detection — boxes under elastic
-    fields are ill-defined) and the box corners are mapped analytically with the
-    same forward transform; padded (-1) rows stay padded."""
+    Sequential incl. ElasticTransformation, Datasets/dataset_utils.py:54-73): the
+    images are warped with the sampled flips/affine/elastic and the box corners are
+    mapped analytically through the SAME composed transform; padded (-1) rows stay
+    padded.
+
+    Elastic corner tracking: the warp reads out[d] = in[A·d + t + disp(d)], so a
+    source point s lands at the d solving s = A·d + t + disp(d). To first order in
+    the smooth, small field (alpha ~ 10 px over sigma ~ 15 px):
+    d ~= d_aff - A^{-1}·disp(d_aff) with d_aff = A^{-1}(s - t) — the correction
+    evaluates the (low-res) field at the affine-mapped corner. This matches imgaug's
+    keypoint semantics (displace a point by the field at its location) while staying
+    exactly consistent with OUR sampled field."""
     x = minmax_standardize(images, mean, std)
     if not train:
         return x, boxes
     B, H, W, _ = x.shape
-    det_cfg = dataclasses.replace(cfg, elastic_p=0.0)
-    mats = sample_affine_matrices(rng, B, H, W, det_cfg)
+    k_aff, k_el = jax.random.split(rng)
+    mats = sample_affine_matrices(k_aff, B, H, W, cfg)
+    lowres = sample_elastic_lowres(k_el, B, H, W, cfg) if cfg.elastic_p > 0 else None
+    disp = (
+        jax.image.resize(lowres, (B, H, W, 2), method="bilinear")
+        if lowres is not None
+        else None
+    )
     background = (0.0 - mean) / std
     from .warp import warp_affine_elastic
 
-    beta_max, disp_max = warp_bounds(det_cfg)
-    warped = warp_affine_elastic(x - background, mats, None, beta_max=beta_max,
+    beta_max, disp_max = warp_bounds(cfg)
+    warped = warp_affine_elastic(x - background, mats, disp, beta_max=beta_max,
                                  disp_max=disp_max) + background
 
     valid = boxes[..., 4:5] >= 0
@@ -325,7 +380,13 @@ def augment_batch_with_boxes(
         axis=2,
     )  # (B, N, 4, 2)
     Bn, N = corners.shape[:2]
-    mapped = transform_points(mats, corners.reshape(Bn, N * 4, 2)).reshape(Bn, N, 4, 2)
+    mapped = transform_points(mats, corners.reshape(Bn, N * 4, 2))  # (B, N*4, 2)
+    if lowres is not None:
+        # first-order elastic correction: d -= A^{-1}·disp(d_aff)
+        d_at = elastic_at_points(lowres, mapped, H, W)  # (B, N*4, 2)
+        a_inv = _inverse_2x2(mats)
+        mapped = mapped - jnp.einsum("bij,bnj->bni", a_inv, d_at)
+    mapped = mapped.reshape(Bn, N, 4, 2)
     new_min = jnp.min(mapped, axis=2)
     new_max = jnp.max(mapped, axis=2)
     new_boxes = jnp.concatenate(
@@ -342,22 +403,27 @@ def augment_batch_with_boxes(
     return warped, new_boxes
 
 
-def transform_points(matrices_fwd_inv: jnp.ndarray, points_xy: jnp.ndarray) -> jnp.ndarray:
-    """Map points with the FORWARD transform given the inverse matrices produced by
-    sample_affine_matrices (used to keep detection boxes consistent with the image).
-
-    matrices_fwd_inv: (B, 2, 3) inverse maps; points_xy: (B, N, 2).
-    """
+def _inverse_2x2(matrices_fwd_inv: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2, 2) inverse of the linear part of the (B, 2, 3) dst->src maps."""
     a = matrices_fwd_inv[:, :, :2]
-    t = matrices_fwd_inv[:, :, 2]
-    # invert: src = A dst + t  =>  dst = A^-1 (src - t)
     det = a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0]
-    inv = jnp.stack(
+    return jnp.stack(
         [
             jnp.stack([a[:, 1, 1] / det, -a[:, 0, 1] / det], axis=-1),
             jnp.stack([-a[:, 1, 0] / det, a[:, 0, 0] / det], axis=-1),
         ],
         axis=1,
     )
+
+
+def transform_points(matrices_fwd_inv: jnp.ndarray, points_xy: jnp.ndarray) -> jnp.ndarray:
+    """Map points with the FORWARD transform given the inverse matrices produced by
+    sample_affine_matrices (used to keep detection boxes consistent with the image).
+
+    matrices_fwd_inv: (B, 2, 3) inverse maps; points_xy: (B, N, 2).
+    """
+    t = matrices_fwd_inv[:, :, 2]
+    # invert: src = A dst + t  =>  dst = A^-1 (src - t)
+    inv = _inverse_2x2(matrices_fwd_inv)
     rel = points_xy - t[:, None, :]
     return jnp.einsum("bij,bnj->bni", inv, rel)

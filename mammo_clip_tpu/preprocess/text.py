@@ -133,11 +133,69 @@ class BackTranslator:
             return tok_b.batch_decode(back, skip_special_tokens=True)[0]
 
 
+class RuleParaphraser:
+    """Deterministic rule-based paraphraser — the offline back-translation fallback.
+
+    The reference's text_augment column carries MarianMT en->{it,de}->en round trips
+    (reference: augment_text.py:123-187) whose effect is a meaning-preserving
+    rewording. Without the MarianMT weights (zero-egress pods) we approximate that
+    signal with (a) sentence-order rotation and (b) a connective/verb synonym table
+    that NEVER touches label-bearing clinical nouns (mass, calcification, density,
+    asymmetry, distortion...), so the CLIP supervision targets are untouched while
+    the token sequence genuinely varies.
+    """
+
+    # connective phrases only — clinical label nouns are deliberately absent
+    PHRASES = [
+        ("there is no evidence of", "no evidence is seen of"),
+        ("no evidence of", "without evidence of"),
+        ("is seen", "is noted"),
+        ("are seen", "are noted"),
+        ("is noted", "is observed"),
+        ("are noted", "are observed"),
+        ("is identified", "is demonstrated"),
+        ("unchanged from prior", "stable compared with prior"),
+        ("compared to prior", "compared with the previous study"),
+        ("within normal limits", "unremarkable"),
+        ("unremarkable", "within normal limits"),
+        ("consistent with", "compatible with"),
+        ("suggestive of", "suspicious for"),
+        ("demonstrates", "shows"),
+        ("demonstrate", "show"),
+        ("no suspicious", "without suspicious"),
+        ("in the", "within the"),
+    ]
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+
+    def __call__(self, text: str) -> str:
+        import hashlib
+        import random
+
+        h = int.from_bytes(hashlib.sha1(f"{self.seed}:{text}".encode()).digest()[:8], "big")
+        rng = random.Random(h)
+        out = text
+        # phrase substitutions, each applied with p=0.5 (first occurrence)
+        for a, b in self.PHRASES:
+            if a in out and rng.random() < 0.5:
+                out = out.replace(a, b, 1)
+        # sentence rotation with p=0.5 when multi-sentence
+        parts = [s.strip() for s in out.split(".") if s.strip()]
+        if len(parts) > 1 and rng.random() < 0.5:
+            k = rng.randrange(1, len(parts))
+            parts = parts[k:] + parts[:k]
+            out = ". ".join(parts) + "."
+        return out
+
+
 def augment_pretrain_csv(df: pd.DataFrame, translator: Optional[BackTranslator] = None) -> pd.DataFrame:
-    """Add the text_augment column (back-translated or identity copies)."""
+    """Add the text_augment column: back-translated when MarianMT weights exist,
+    rule-paraphrased otherwise (never a plain identity copy)."""
     translator = translator or BackTranslator()
+    fn = translator if translator.available else RuleParaphraser()
     out = df.copy()
     out["text_augment"] = out["text"].map(
-        lambda texts: [translator(t) for t in texts] if isinstance(texts, list) else translator(str(texts))
+        lambda texts: [fn(t) for t in texts] if isinstance(texts, list) else fn(str(texts))
     )
     return out

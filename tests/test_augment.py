@@ -157,3 +157,80 @@ def test_augment_two_views_matches_concat():
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(both[:3]))
     np.testing.assert_array_equal(np.asarray(o2), np.asarray(both[3:]))
     assert o1.shape == a.shape and o2.shape == b.shape
+
+
+def test_elastic_at_points_matches_resize():
+    """elastic_at_points == the bilinearly-upsampled field the warp uses."""
+    from mammo_clip_tpu.ops.augment import elastic_at_points, sample_elastic_lowres
+
+    cfg = AugmentConfig(elastic_p=1.0, elastic_alpha=10.0, elastic_sigma=15.0)
+    H, W = 64, 48
+    lowres = sample_elastic_lowres(jax.random.PRNGKey(0), 2, H, W, cfg)
+    full = jax.image.resize(lowres, (2, H, W, 2), method="bilinear")
+    rng = np.random.default_rng(0)
+    ys = rng.integers(0, H, 40)
+    xs = rng.integers(0, W, 40)
+    pts = jnp.asarray(np.stack([xs, ys], -1)[None].repeat(2, 0), jnp.float32)
+    at = np.asarray(elastic_at_points(lowres, pts, H, W))
+    expect = np.asarray(full)[np.arange(2)[:, None], ys[None], xs[None]]
+    np.testing.assert_allclose(at, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_elastic_corner_tracking_self_consistent():
+    """A tracked corner d satisfies the warp's source equation s = A d + t + disp(d)
+    to first order (the approximation error is O(|disp|·|grad disp|) << 1 px)."""
+    from mammo_clip_tpu.ops.augment import (
+        _inverse_2x2,
+        elastic_at_points,
+        sample_affine_matrices,
+        sample_elastic_lowres,
+        transform_points,
+    )
+
+    cfg = AugmentConfig(hflip_p=0.5, vflip_p=0.5, affine_p=1.0, rotate_deg=15.0,
+                        translate_frac=0.05, scale_min=0.9, scale_max=1.1,
+                        shear_deg=10.0, elastic_p=1.0, elastic_alpha=10.0,
+                        elastic_sigma=15.0)
+    H, W = 160, 120
+    B = 3
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    mats = sample_affine_matrices(k1, B, H, W, cfg)
+    lowres = sample_elastic_lowres(k2, B, H, W, cfg)
+
+    rng = np.random.default_rng(1)
+    s = jnp.asarray(rng.uniform(20, 100, (B, 16, 2)), jnp.float32)  # interior points
+    d_aff = transform_points(mats, s)
+    d = d_aff - jnp.einsum("bij,bnj->bni", _inverse_2x2(mats), elastic_at_points(lowres, d_aff, H, W))
+
+    # source the warp would read at d:
+    a = mats[:, :, :2]
+    t = mats[:, :, 2]
+    src = jnp.einsum("bij,bnj->bni", a, d) + t[:, None, :] + elastic_at_points(lowres, d, H, W)
+    err = np.abs(np.asarray(src - s))
+    assert err.max() < 0.75, err.max()  # sub-pixel: first-order correction holds
+
+
+def test_augment_batch_with_boxes_elastic_tracks_blob():
+    """End to end: with elastic ON, the tracked box still covers the warped blob."""
+    from mammo_clip_tpu.ops.augment import augment_batch_with_boxes
+
+    cfg = AugmentConfig(hflip_p=0.0, vflip_p=0.0, affine_p=1.0, rotate_deg=10.0,
+                        translate_frac=0.03, scale_min=0.95, scale_max=1.05,
+                        shear_deg=5.0, elastic_p=1.0, elastic_alpha=10.0,
+                        elastic_sigma=15.0)
+    H, W = 128, 96
+    img = np.zeros((1, H, W, 1), np.uint8)
+    img[0, 50:70, 30:50, 0] = 255
+    boxes = jnp.asarray([[[30.0, 50.0, 49.0, 69.0, 1.0]]], jnp.float32)
+    out_img, out_boxes = augment_batch_with_boxes(
+        jnp.asarray(img), boxes, jax.random.PRNGKey(5), cfg, 0.3, 0.25)
+    b = np.asarray(out_boxes)[0, 0]
+    assert b[4] == 1.0
+    # locate the warped blob (bright pixels) and check containment within ~2.5 px
+    o = np.asarray(out_img)[0, :, :, 0]
+    bright = o > o.mean() + 2.5 * o.std()
+    ys, xs = np.where(bright)
+    assert len(ys) > 100  # blob survived
+    pad = 2.5
+    assert b[0] <= xs.min() + pad and b[2] >= xs.max() - pad
+    assert b[1] <= ys.min() + pad and b[3] >= ys.max() - pad

@@ -242,3 +242,111 @@ def test_export_import_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(variables["batch_stats"]),
                     jax.tree_util.tree_leaves(restored["batch_stats"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_public_checkpoint_shape_end_to_end(tmp_path):
+    """Byte-accurate fake of the PUBLIC .tar contract (README.md:363-374): full b2
+    state dict at real shapes — 3-channel RGB stem (imagetext.py:121 feeds
+    gray->RGB), extra _fc head, HF BERT-base keys, 'module.' DDP prefixes, embedded
+    Hydra config — imported via load_clip_for_eval and driven through the zero-shot
+    eval path on synthetic images."""
+    import torch
+    from transformers import BertConfig, BertModel
+
+    from mammo_clip_tpu.models.efficientnet import (
+        head_filters,
+        scaled_block_args,
+        stem_filters,
+    )
+
+    torch.manual_seed(0)
+    sd = {}
+
+    def t(*shape):
+        return torch.randn(*shape) * 0.05
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = torch.ones(c) + 0.05 * torch.randn(c)
+        sd[prefix + ".bias"] = 0.05 * torch.randn(c)
+        sd[prefix + ".running_mean"] = 0.05 * torch.randn(c)
+        sd[prefix + ".running_var"] = torch.ones(c)
+        sd[prefix + ".num_batches_tracked"] = torch.tensor(100)
+
+    # image encoder: the reference custom EfficientNet-b2 with its 3-channel stem
+    p = "image_encoder."
+    stem = stem_filters("b2")
+    sd[p + "_conv_stem.weight"] = t(stem, 3, 3, 3)
+    bn(p + "_bn0", stem)
+    for i, a in enumerate(scaled_block_args("b2")):
+        b = f"{p}_blocks.{i}."
+        exp = a.in_filters * a.expand_ratio
+        if a.expand_ratio != 1:
+            sd[b + "_expand_conv.weight"] = t(exp, a.in_filters, 1, 1)
+            bn(b + "_bn0", exp)
+        sd[b + "_depthwise_conv.weight"] = t(exp, 1, a.kernel, a.kernel)
+        bn(b + "_bn1", exp)
+        sq = max(1, int(a.in_filters * a.se_ratio))
+        sd[b + "_se_reduce.weight"] = t(sq, exp, 1, 1)
+        sd[b + "_se_reduce.bias"] = t(sq)
+        sd[b + "_se_expand.weight"] = t(exp, sq, 1, 1)
+        sd[b + "_se_expand.bias"] = t(exp)
+        sd[b + "_project_conv.weight"] = t(a.out_filters, exp, 1, 1)
+        bn(b + "_bn2", a.out_filters)
+    head = head_filters("b2")
+    last = scaled_block_args("b2")[-1].out_filters
+    sd[p + "_conv_head.weight"] = t(head, last, 1, 1)
+    bn(p + "_bn1", head)
+    sd[p + "_fc.weight"] = t(1, head)  # extra key (num_classes=1) — must be ignored
+    sd[p + "_fc.bias"] = t(1)
+
+    # text encoder: REAL HF BertModel keys at BioClinicalBERT shape
+    bert = BertModel(BertConfig(vocab_size=28996))
+    for k, v in bert.state_dict().items():
+        sd["text_encoder.text_encoder." + k] = v
+
+    sd["image_projection.projection.weight"] = t(512, head)
+    sd["image_projection.projection.bias"] = t(512)
+    sd["text_projection.projection.weight"] = t(512, 768)
+    sd["text_projection.projection.bias"] = t(512)
+    sd["logit_scale"] = torch.tensor(float(np.log(1 / 0.07)))
+
+    ref_cfg = {  # the reference's embedded Hydra config shape (trainer.py:220-229)
+        "model": {
+            "image_encoder": {"source": "cnn", "name": "tf_efficientnetv2-detect",
+                              "pretrained": True, "model_type": "cnn"},
+            "text_encoder": {"source": "huggingface", "gradient_checkpointing": False,
+                             "name": "emilyalsentzer/Bio_ClinicalBERT",
+                             "pooling": "eos"},
+            "projection_head": {"name": "linear", "proj_dim": 512, "dropout": 0.1},
+            "temperature": 0.07,
+        },
+        "base": {"image_size_h": 128, "image_size_w": 96, "mean": 0.3089279,
+                 "std": 0.2505356, "text_max_length": 24},
+    }
+    path = str(tmp_path / "b2-model-best-epoch-10.tar")
+    torch.save({"model": {f"module.{k}": v for k, v in sd.items()},
+                "optimizer": {}, "scheduler": {}, "config": ref_cfg,
+                "epoch": 10, "train_loss": 0.41}, path)
+
+    # ---- the exact consumer path a reference user would take
+    from mammo_clip_tpu.data.tokenizer import HashTokenizer
+    from mammo_clip_tpu.eval.embeddings import EmbeddingExtractor
+    from mammo_clip_tpu.eval.loading import load_clip_for_eval
+
+    model, variables, cfg = load_clip_for_eval(path)
+    assert cfg.model.image_encoder.name == "tf_efficientnetv2-detect"
+    assert cfg.data.image_size_h == 128 and cfg.data.text_max_length == 24
+
+    ex = EmbeddingExtractor(model, variables, mean=cfg.data.mean, std=cfg.data.std,
+                            batch_size=4)
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (4, 128, 96, 1), dtype=np.uint8)
+    img_emb = ex.encode_images(images)
+    tok = HashTokenizer(vocab_size=28996)
+    enc = tok(["there is a mass.", "no significant finding."], max_length=24)
+    txt_emb = ex.encode_texts(enc["input_ids"], enc["attention_mask"])
+    assert img_emb.shape == (4, 512) and txt_emb.shape == (2, 512)
+    assert np.all(np.isfinite(img_emb)) and np.all(np.isfinite(txt_emb))
+    # embeddings are L2-normalized by the extractor contract
+    np.testing.assert_allclose(np.linalg.norm(txt_emb, axis=1), 1.0, atol=1e-4)

@@ -100,3 +100,31 @@ def test_rescale_detection_boxes():
     # x scale: 1000/500=2, y scale: 2000/1000=2
     assert out.resized_xmin.iloc[0] == (100 - 50) * 2
     assert out.resized_ymax.iloc[0] == (400 - 100) * 2
+
+
+def test_rule_paraphraser_varies_but_preserves_labels():
+    from mammo_clip_tpu.preprocess.text import RuleParaphraser, augment_pretrain_csv
+    import pandas as pd
+
+    texts = [
+        "there is no evidence of mass. the breast is unremarkable. "
+        "scattered calcifications are seen in the left breast.",
+        "a spiculated mass is noted in the upper outer quadrant. "
+        "no suspicious calcification is identified.",
+    ]
+    pp = RuleParaphraser(seed=0)
+    changed = 0
+    for t in texts:
+        out = pp(t)
+        assert out == pp(t)  # deterministic
+        changed += out != t
+        # label-bearing clinical nouns are preserved verbatim
+        for noun in ("mass", "calcification"):
+            assert (noun in t) == (noun in out)
+    assert changed >= 1  # the augmentation carries real signal
+
+    df = pd.DataFrame({"text": [texts]})
+    out_df = augment_pretrain_csv(df)
+    aug = out_df["text_augment"].iloc[0]
+    assert isinstance(aug, list) and len(aug) == 2
+    assert any(a != t for a, t in zip(aug, texts))
