@@ -86,7 +86,18 @@ class MeshContext:
         return per_device * self.num_devices
 
     def shard_host_batch(self, batch):
-        """Place a host-resident pytree of numpy arrays onto the mesh, batch-sharded."""
+        """Place a host-resident pytree of numpy arrays onto the mesh, batch-sharded.
+
+        Single-process: a plain sharded device_put. Multi-host SPMD: each process
+        passes only ITS slice of the global batch (the Batcher enumerates
+        process_index-strided indices) and jax assembles the global array from the
+        per-process shards — the multi-controller equivalent of DistributedSampler
+        + NCCL scatter in the reference's DDP path (trainer_ddp.py)."""
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(self.batch_sharding, x),
+                batch,
+            )
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, self.batch_sharding), batch
         )

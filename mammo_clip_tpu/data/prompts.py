@@ -116,15 +116,24 @@ def _negative_templates(finding: str, side: str) -> List[str]:
         "Skin Thickening": "skin thickening",
     }[finding]
     verb = "are" if finding == "Suspicious Calcification" else "is"
-    return [
-        _NO_EVIDENCE,
-        f"there {verb} no {noun} seen",
-        f"there {verb} no {noun} present",
-        f"there {verb} no {noun} identified",
-        f"there {verb} no {noun}",
-        _COMBINED_NEG,
-        f"there is no {noun} in the {side} breast",
-    ]
+    out = [_NO_EVIDENCE, _COMBINED_NEG, f"there is no {noun} in the {side} breast"]
+    # negation matrix (reference prompts_all.json neg_* structure: with/without
+    # "there is", with/without the "suspicious" qualifier, verb-phrase variants)
+    bare = noun.replace("suspicious ", "")
+    for n in dict.fromkeys([noun, bare]):
+        for prefix in (f"there {verb} no ", "no "):
+            for suffix in (" seen", " present", " identified", ""):
+                out.append(f"{prefix}{n}{suffix}")
+    # benign located variants — a benign finding is a NEGATIVE for "suspicious X"
+    # (reference: prompts_all.json 'benign ... with associated biopsy marker' rows)
+    if finding in ("Mass", "Suspicious Calcification"):
+        art = "there are" if verb == "are" else "there is a"
+        for q in (f"benign {bare}", f"benign {bare} with associated biopsy marker"):
+            base = f"{art} {q}"
+            for region in _REGIONS:
+                for depth in _DEPTHS:
+                    out.append(_locate(base, region, side, depth))
+    return out
 
 
 def build_prompt_bank() -> Dict[str, Dict[str, List[str]]]:

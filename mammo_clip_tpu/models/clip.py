@@ -106,6 +106,7 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
         remat=config.get("remat", False),
         remat_max_reduction=config.get("remat_max_reduction", 16),
         packed_residuals=config.get("packed_residuals", False),
+        fused_mbconv=config.get("fused_mbconv", False),
         pooling=config.get("pooling", "avg"),
         dtype=dtype,
         name="image_encoder",

@@ -162,6 +162,53 @@ class SqueezeExcite(nn.Module):
         return x * jax.nn.sigmoid(s)
 
 
+class _MirrorConv(nn.Module):
+    """Declares the exact param tree an nn.Conv would, without running the conv —
+    lets the fused Pallas path consume raw kernels while staying checkpoint-
+    identical to the Flax path (same names, shapes, initializers)."""
+
+    shape: Tuple[int, ...]  # (kh, kw, in_per_group, out)
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        if self.use_bias:
+            return k, self.param("bias", nn.initializers.zeros_init(), (self.shape[-1],))
+        return k, None
+
+
+class _MirrorBN(nn.Module):
+    """Param/batch_stats tree of an nn.BatchNorm (scale/bias + mean/var)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean, var
+
+
+class _MirrorSE(nn.Module):
+    """Param tree of SqueezeExcite (reduce/expand 1x1 convs with bias)."""
+
+    channels: int
+    squeezed: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _MirrorConv((1, 1, self.channels, self.squeezed), use_bias=True,
+                             name="reduce")()
+        w2, b2 = _MirrorConv((1, 1, self.squeezed, self.channels), use_bias=True,
+                             name="expand")()
+        return w1, b1, w2, b2
+
+
 class MBConvBlock(nn.Module):
     """One MBConv block.
 
@@ -171,16 +218,79 @@ class MBConvBlock(nn.Module):
     Packing the boundary tensors as (N, H, W*C) makes the saved residuals compact,
     which is what unlocks batch sizes > 8 on a 16 GB chip. Pure reshapes — the param
     tree and the math are unchanged (checkpoint-compatible).
-    """
+
+    ``fused_nchw`` routes the block through the fused Pallas megakernel
+    (ops/mbconv_pallas.py): input/output are NCHW (lane-compact for C < 128), the
+    whole chain runs in three phased kernels per direction, and train-mode BN
+    batch statistics are exact. Only e=1 / k=3 / stride-1 blocks qualify; eval
+    mode transposes to NHWC and takes the Flax path (running-average BN). The
+    param tree is identical either way (_Mirror* declare the same leaves)."""
 
     args: BlockArgs
     drop_rate: float
     dtype: Any = jnp.float32
     packed_in_hw: Tuple[int, int] = ()  # (H, W) when the input arrives packed
     packed_out: bool = False  # emit (N, H, W*C) instead of NHWC
+    fused_nchw: bool = False  # I/O in NCHW; train uses the Pallas megakernel
+
+    def _fused_params(self):
+        from ..ops.mbconv_pallas import MBConvParams
+
+        a = self.args
+        c1 = a.in_filters
+        sq = max(1, int(a.in_filters * a.se_ratio))
+        dw, _ = _MirrorConv((a.kernel, a.kernel, 1, c1), name="depthwise_conv")()
+        g1, b1, m1, v1 = _MirrorBN(c1, name="bn1")()
+        w1, sb1, w2, sb2 = _MirrorSE(c1, sq, name="se")()
+        wp, _ = _MirrorConv((1, 1, c1, a.out_filters), name="project_conv")()
+        g2, b2, m2, v2 = _MirrorBN(a.out_filters, name="bn2")()
+        params = MBConvParams(
+            dw_kernel=jnp.transpose(dw[:, :, 0, :], (2, 0, 1)),  # (C,3,3)
+            gamma1=g1, beta1=b1,
+            se_w1=w1[0, 0], se_b1=sb1, se_w2=w2[0, 0], se_b2=sb2,
+            wp=wp[0, 0],
+            gamma2=g2, beta2=b2,
+        )
+        return params, (m1, v1, m2, v2)
+
+    def _fused_call(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """x: (N, C, H, W). Pallas path in train mode; Flax path (transposed) in eval."""
+        from ..ops.mbconv_pallas import BN_EPS as _EPS
+        from ..ops.mbconv_pallas import fused_mbconv_e1
+
+        a = self.args
+        if not train:
+            out = self._flax_call(jnp.transpose(x, (0, 2, 3, 1)), train)
+            return jnp.transpose(out, (0, 3, 1, 2))
+        params, (m1, v1, m2, v2) = self._fused_params()
+        n = x.shape[0]
+        if self.drop_rate > 0.0 and not self.is_initializing():
+            keep = 1.0 - self.drop_rate
+            mask = jax.random.bernoulli(self.make_rng("stochastic"), p=keep, shape=(n,))
+            delta = mask.astype(jnp.float32) / keep
+        else:
+            delta = jnp.ones((n,), jnp.float32)
+        interpret = jax.default_backend() == "cpu"
+        out, (mean1, var1, mean2, var2) = fused_mbconv_e1(
+            x, params, delta, _EPS, interpret
+        )
+        if not self.is_initializing():
+            m = BN_MOMENTUM
+            m1.value = m * m1.value + (1 - m) * mean1
+            v1.value = m * v1.value + (1 - m) * var1
+            m2.value = m * m2.value + (1 - m) * mean2
+            v2.value = m * v2.value + (1 - m) * var2
+        return out
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        a = self.args
+        if self.fused_nchw:
+            assert a.expand_ratio == 1 and a.kernel == 3 and a.stride == 1
+            return self._fused_call(x, train)
+        return self._flax_call(x, train)
+
+    def _flax_call(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         a = self.args
         if self.packed_in_hw:
             h_in, w_in = self.packed_in_hw
@@ -242,6 +352,10 @@ class EfficientNet(nn.Module):
     packed_residuals: bool = False  # with remat on, store the remat-saved block
     #   inputs lane-compact as (N, H, W*C) — see MBConvBlock docstring. Math- and
     #   checkpoint-identical; cuts the dominant HBM residency up to 5.3x.
+    fused_mbconv: bool = False  # route qualifying early-stage blocks (e=1, k=3,
+    #   s=1) through the fused Pallas megakernel in NCHW (ops/mbconv_pallas.py):
+    #   ~4-6x less HBM traffic on the stage-1 blocks that dominate the step.
+    #   Checkpoint-identical params; exact train-BN semantics; Flax path for eval.
     pooling: str = "avg"  # 'avg' (lukemelas path) or 'gem' (the reference's timm
     #   EfficientNet_Mammo GeM(p=3) option, image_encoder.py:95-116)
     dtype: Any = jnp.float32
@@ -290,19 +404,46 @@ class EfficientNet(nn.Module):
         cur_h, cur_w, cur_c = x.shape[1], x.shape[2], x.shape[3]
         x_packed = False
 
+        x_nchw = False
+
         def unpacked(t):
-            return t.reshape(t.shape[0], cur_h, cur_w, cur_c) if x_packed else t
+            if x_packed:
+                return t.reshape(t.shape[0], cur_h, cur_w, cur_c)
+            if x_nchw:
+                return jnp.transpose(t, (0, 2, 3, 1))
+            return t
+
+        def fused_ok(a_):
+            # kernel supports e=1 / k=3 / stride-1 blocks whose H is 8-row tileable
+            return (
+                self.fused_mbconv
+                and a_.expand_ratio == 1
+                and a_.kernel == 3
+                and a_.stride == 1
+                and cur_h % 8 == 0
+            )
 
         for idx, a in enumerate(args):
             rate = self.drop_connect_rate * idx / n_blocks
             use_remat = self.remat and scale <= self.remat_max_reduction
-            block_cls = remat_cls if use_remat else MBConvBlock
+            use_fused = fused_ok(a)
+            if use_fused and not x_nchw:
+                x = jnp.transpose(unpacked(x), (0, 3, 1, 2))
+                x_packed, x_nchw = False, True
+            if not use_fused and x_nchw:
+                x = jnp.transpose(x, (0, 2, 3, 1))
+                x_nchw = False
+            # fused blocks have a recompute-based custom VJP (saved residual = the
+            # compact NCHW input) — remat around them would be redundant
+            block_cls = remat_cls if (use_remat and not use_fused) else MBConvBlock
             # pack boundaries only where remat keeps the input alive AND the lane
             # dim is actually padded (C % 128 != 0)
             want_packed_out = (
-                self.packed_residuals and use_remat and a.out_filters % 128 != 0
+                self.packed_residuals and use_remat and not use_fused
+                and a.out_filters % 128 != 0 and not x_nchw
             )
-            if self.packed_residuals and use_remat and not x_packed and cur_c % 128 != 0:
+            if (self.packed_residuals and use_remat and not use_fused
+                    and not x_packed and not x_nchw and cur_c % 128 != 0):
                 x = x.reshape(x.shape[0], cur_h, cur_w * cur_c)
                 x_packed = True
             # train passed positionally: nn.remat static_argnums counts positional args
@@ -312,6 +453,7 @@ class EfficientNet(nn.Module):
                 dtype=self.dtype,
                 packed_in_hw=(cur_h, cur_w) if x_packed else (),
                 packed_out=want_packed_out,
+                fused_nchw=x_nchw,
                 name=f"block_{idx}",
             )(x, train)
             scale *= a.stride
@@ -327,6 +469,7 @@ class EfficientNet(nn.Module):
                 taps.append(unpacked(x))
             prev = unpacked(x)
         x = unpacked(x)
+        x_nchw = False
 
         x = nn.Conv(head_filters(self.variant), (1, 1), use_bias=False, dtype=self.dtype, name="head_conv")(x)
         x = jax.nn.silu(bn("head_bn")(x))

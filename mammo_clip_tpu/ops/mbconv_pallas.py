@@ -114,25 +114,37 @@ def _depthwise(xp, k_ref, h_tile, width):
     d = None
     for a in range(3):
         for b in range(3):
-            tap = k_ref[:, a : a + 1, b : b + 1]  # (C,1,1) fp32
+            tap = _bc(k_ref[:, a : a + 1, b : b + 1], width)  # (C,1,W) fp32
             term = xp[:, a : a + h_tile, b : b + width] * tap
             d = term if d is None else d + term
     return d  # (C, hT, W) fp32
 
 
+def _bc(v, width):
+    """(C, 1, 1) -> (C, 1, W) lane-broadcast. Mosaic cannot broadcast sublanes and
+    lanes in ONE op; after this only the (supported) sublane broadcast remains in
+    the consuming elementwise op."""
+    return jax.lax.broadcast_in_dim(v, (v.shape[0], 1, width), (0, 1, 2))
+
+
 def _bn_apply(t, mean_ref, inv_ref, gamma_ref, beta_ref):
     """(t - mean) * inv * gamma + beta; per-channel vectors are (C, 1, 1) refs."""
-    return (t - mean_ref[:]) * (inv_ref[:] * gamma_ref[:]) + beta_ref[:]
+    w = t.shape[2]
+    return (t - _bc(mean_ref[:], w)) * _bc(inv_ref[:] * gamma_ref[:], w) + _bc(beta_ref[:], w)
 
 
 def _rowwise_ab(a, b):
-    """sum_hw a[:, h, w] outer b[:, h, w] -> (Ca, Cb) fp32: one MXU contraction
-    over both minor dims (W is 128-lane aligned, so the (hT, W) merge retiles)."""
-    return jax.lax.dot_general(
-        a, b,
-        dimension_numbers=(((1, 2), (1, 2)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    """sum_hw a[:, h, w] outer b[:, h, w] -> (Ca, Cb) fp32 via per-row MXU dots
+    (tpu.matmul only supports a single contracting dim per operand)."""
+    acc = None
+    for r in range(a.shape[1]):
+        t = jax.lax.dot_general(
+            a[:, r, :], b[:, r, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = t if acc is None else acc + t
+    return acc
 
 
 def _project(wp_ref, t, transpose=False):
@@ -220,10 +232,10 @@ def _p3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, k, m1, inv1, g1, b1,
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
     d = _depthwise(xp, k, h_tile, W)
     v = _silu(_bn_apply(d, m1, inv1, g1, b1))
-    u = v * gate[0]
+    u = v * _bc(gate[0], v.shape[2])
     y = _project(wp, u)  # (C2, hT, W)
     yhat = _bn_apply(y, m2, inv2, g2, b2)
-    res = delta[0, 0] * yhat
+    res = delta[pl.program_id(0), 0] * yhat
     if residual:
         res = res + xm[0].astype(jnp.float32)
     out[0] = res.astype(out.dtype)
@@ -249,10 +261,11 @@ def _b1_kernel(n_tiles, h_tile, W, xm, xt, xb, gm, k, m1, inv1, g1, b1, gate, wp
     """
     i = pl.program_id(1)
     _, _, _, v = _recompute_to_v(xm, xt, xb, k, m1, inv1, g1, b1, i, n_tiles, h_tile, W)
-    u = v * gate[0]
+    w = v.shape[2]
+    u = v * _bc(gate[0], w)
     y = _project(wp, u)
-    ybar = (y - m2[:]) * inv2[:]
-    dyhat = gm[0].astype(jnp.float32) * delta[0, 0]
+    ybar = (y - _bc(m2[:], w)) * _bc(inv2[:], w)
+    dyhat = gm[0].astype(jnp.float32) * delta[pl.program_id(0), 0]
 
     @pl.when(_first_step())
     def _():
@@ -271,11 +284,12 @@ def _b1_kernel(n_tiles, h_tile, W, xm, xt, xb, gm, k, m1, inv1, g1, b1, gate, wp
 
 def _dy_tile(gm, v, gate, wp, m2, inv2, g2, alpha, beta_r, delta, h_tile):
     """dy = A·dŷ - a - ȳ·b with per-channel constants; recomputes y/ȳ from v."""
-    u = v * gate[0]
+    w = v.shape[2]
+    u = v * _bc(gate[0], w)
     y = _project(wp, u)
-    ybar = (y - m2[:]) * inv2[:]
-    dyhat = gm[0].astype(jnp.float32) * delta[0, 0]
-    dy = (g2[:] * inv2[:]) * dyhat - alpha[:] - ybar * beta_r[:]
+    ybar = (y - _bc(m2[:], w)) * _bc(inv2[:], w)
+    dyhat = gm[0].astype(jnp.float32) * delta[pl.program_id(0), 0]
+    dy = _bc(g2[:] * inv2[:], w) * dyhat - _bc(alpha[:], w) - ybar * _bc(beta_r[:], w)
     return u, y, ybar, dy
 
 
@@ -295,9 +309,10 @@ def _b2_kernel(n_tiles, h_tile, W, xm, xt, xb, gm, k, m1, inv1, g1, b1, gate, wp
                               delta, h_tile)
     # du[c1] = sum_c2 wp[c1, c2] dy[c2] (project contracted on the output channel)
     du = _project(wp, dy, transpose=True)
-    dv = du * gate[0] + ds_hw[0]
+    w = du.shape[2]
+    dv = du * _bc(gate[0], w) + _bc(ds_hw[0], w)
     ddhat = dv * _dsilu(dhat)
-    dbar = (d - m1[:]) * inv1[:]
+    dbar = (d - _bc(m1[:], w)) * _bc(inv1[:], w)
 
     @pl.when(_first_step())
     def _():
@@ -342,7 +357,7 @@ def _b3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, gm, gt, gb, k, m1, inv1
     d_ext = None
     for a in range(3):
         for b in range(3):
-            tap = k[:, a : a + 1, b : b + 1]
+            tap = _bc(k[:, a : a + 1, b : b + 1], W)
             term = xp4[:, a : a + h_ext, b + 1 : b + 1 + W] * tap
             d_ext = term if d_ext is None else d_ext + term
     dhat_ext = _bn_apply(d_ext, m1, inv1, g1, b1)
@@ -352,16 +367,19 @@ def _b3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, gm, gt, gb, k, m1, inv1
     g_bot = gb[0, :, 0:1, :].astype(jnp.float32) * bot_m
     g_ext = jnp.concatenate([g_top, gm[0].astype(jnp.float32), g_bot], axis=1)
 
-    u_ext = v_ext * gate[0]
+    wl = v_ext.shape[2]
+    u_ext = v_ext * _bc(gate[0], wl)
     y_ext = _project(wp, u_ext)
-    ybar_ext = (y_ext - m2[:]) * inv2[:]
-    dyhat_ext = g_ext * delta[0, 0]
-    dy_ext = (g2[:] * inv2[:]) * dyhat_ext - alpha[:] - ybar_ext * beta_r[:]
+    ybar_ext = (y_ext - _bc(m2[:], wl)) * _bc(inv2[:], wl)
+    dyhat_ext = g_ext * delta[pl.program_id(0), 0]
+    dy_ext = (_bc(g2[:] * inv2[:], wl) * dyhat_ext - _bc(alpha[:], wl)
+              - ybar_ext * _bc(beta_r[:], wl))
     du_ext = _project(wp, dy_ext, transpose=True)
-    dv_ext = du_ext * gate[0] + ds_hw[0]
+    dv_ext = du_ext * _bc(gate[0], wl) + _bc(ds_hw[0], wl)
     ddhat_ext = dv_ext * _dsilu(dhat_ext)
-    dbar_ext = (d_ext - m1[:]) * inv1[:]
-    dd_ext = (g1[:] * inv1[:]) * ddhat_ext - r1a[:] - dbar_ext * r1b[:]
+    dbar_ext = (d_ext - _bc(m1[:], wl)) * _bc(inv1[:], wl)
+    dd_ext = (_bc(g1[:] * inv1[:], wl) * ddhat_ext - _bc(r1a[:], wl)
+              - dbar_ext * _bc(r1b[:], wl))
     # zero dd on rows outside the image (the recompute used zero-masked x, but
     # BN subtraction makes out-of-image dd nonzero — mask explicitly)
     row0_valid = jnp.where(i > 0, 1.0, 0.0)
@@ -383,7 +401,7 @@ def _b3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, gm, gt, gb, k, m1, inv1
     dx = None
     for a in range(3):
         for b in range(3):
-            tap = k[:, a : a + 1, b : b + 1]
+            tap = _bc(k[:, a : a + 1, b : b + 1], W)
             term = dd_pad[:, (2 - a) : (2 - a) + h_tile, (2 - b) : (2 - b) + W] * tap
             dx = term if dx is None else dx + term
     if residual:
@@ -500,7 +518,7 @@ def _forward(x, p: MBConvParams, delta, eps, interpret):
                              memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((C, C2), lambda n, i: (0, 0), memory_space=pltpu.VMEM)
     delta_rows = delta.reshape(N, 1).astype(jnp.float32)
-    dspec = pl.BlockSpec((1, 1), lambda n, i: (n, 0), memory_space=pltpu.SMEM)
+    dspec = pl.BlockSpec((N, 1), lambda n, i: (0, 0), memory_space=pltpu.SMEM)
 
     # ---- P3: apply + write
     out = _grid_call(
@@ -549,7 +567,7 @@ def _bwd(eps, interpret, res, cot):
     wp = p.wp.astype(jnp.float32)
     wspec = pl.BlockSpec((C, C2), lambda n, i: (0, 0), memory_space=pltpu.VMEM)
     delta_rows = delta.reshape(N, 1).astype(jnp.float32)
-    dspec = pl.BlockSpec((1, 1), lambda n, i: (n, 0), memory_space=pltpu.SMEM)
+    dspec = pl.BlockSpec((N, 1), lambda n, i: (0, 0), memory_space=pltpu.SMEM)
     gspec_main = pl.BlockSpec((1, C2, h_tile, W), lambda n, i: (n, 0, i, 0),
                               memory_space=pltpu.VMEM)
 

@@ -165,3 +165,39 @@ def test_fused_projecting_block_cin_ne_cout():
         np.testing.assert_allclose(np.asarray(getattr(gf[1], name)),
                                    np.asarray(getattr(gr[1], name)),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_efficientnet_fused_mbconv_matches_flax():
+    """fused_mbconv routing: same params, same forward/grads as the Flax path."""
+    from mammo_clip_tpu.models.efficientnet import EfficientNet
+
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((2, 64, 48, 1)), jnp.float32)
+    kw = dict(variant="b0", in_channels=1, drop_connect_rate=0.0)
+    m_ref = EfficientNet(**kw, fused_mbconv=False)
+    m_fused = EfficientNet(**kw, fused_mbconv=True)
+    v = jax.jit(lambda x: m_ref.init({"params": jax.random.PRNGKey(0)}, x, False))(x)
+    v2 = jax.jit(lambda x: m_fused.init({"params": jax.random.PRNGKey(0)}, x, False))(x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+    def loss(variables, x, m):
+        out, mut = m.apply(variables, x, True, rngs={"stochastic": jax.random.PRNGKey(3)},
+                           mutable=["batch_stats"])
+        return jnp.sum(out["pooled"].astype(jnp.float32) ** 2), mut["batch_stats"]
+
+    (l1, bs1), g1 = jax.jit(jax.value_and_grad(loss, has_aux=True), static_argnums=2)(v, x, m_ref)
+    (l2, bs2), g2 = jax.jit(jax.value_and_grad(loss, has_aux=True), static_argnums=2)(v, x, m_fused)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    f1 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g1)])
+    f2 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g2)])
+    rel = float(jnp.linalg.norm(f1 - f2) / jnp.linalg.norm(f1))
+    assert rel < 1e-3, rel
+    # running stats updated identically (same batch stats, same momentum)
+    s1 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(bs1)])
+    s2 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(bs2)])
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-4, atol=2e-5)
+
+    # eval: fused path falls back to the Flax path — identical outputs
+    o1 = jax.jit(lambda v, x: m_ref.apply(v, x, False))(v, x)
+    o2 = jax.jit(lambda v, x: m_fused.apply(v, x, False))(v, x)
+    np.testing.assert_allclose(np.asarray(o1["pooled"]), np.asarray(o2["pooled"]),
+                               rtol=1e-5, atol=1e-6)

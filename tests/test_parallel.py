@@ -73,3 +73,66 @@ def test_partition_rules():
     assert spec_for_path("text_encoder/layer_11/ffn_output/kernel") == P("model", None)
     assert spec_for_path("image_encoder/block_5/depthwise_conv/kernel") == P()
     assert spec_for_path("logit_scale") == P()
+
+
+def test_multiprocess_batcher_sharding_disjoint_and_complete():
+    """Simulated process_count=4 input pipeline: per-process index slices are
+    disjoint, cover the epoch, and concat-of-local-batches == a consistent global
+    batch (the multi-host SPMD contract behind MeshContext.shard_host_batch)."""
+    import numpy as np
+
+    from mammo_clip_tpu.data.pipeline import Batcher
+    from mammo_clip_tpu.data.tokenizer import HashTokenizer
+
+    class TinyDs:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            img = np.full((8, 6), i, np.uint8)
+            return {"image": img, "text": f"sample {i}", "label": i}
+
+    tok = HashTokenizer(vocab_size=128)
+    P = 4
+    batchers = [
+        Batcher(TinyDs(), tok, batch_size=4, max_length=8, seed=3,
+                process_index=p, process_count=P)
+        for p in range(P)
+    ]
+    for b in batchers:
+        b.set_epoch(1)
+
+    slices = [b._indices() for b in batchers]
+    all_idx = np.concatenate(slices)
+    assert len(all_idx) == 64
+    assert len(set(all_idx.tolist())) == 64  # disjoint AND complete
+
+    # same epoch -> every process agrees on the global permutation
+    per_proc = [list(iter(b)) for b in batchers]
+    n_batches = len(batchers[0])
+    assert all(len(pb) == n_batches for pb in per_proc)
+    # global batch b = concat of process-local batches (device order): labels must
+    # be exactly the first global_batch entries of the shared permutation,
+    # interleaved process-strided
+    gb = np.concatenate([per_proc[p][0]["labels"] for p in range(P)])
+    rng = np.random.default_rng(3 * 100_003 + 1)
+    order = np.arange(64)
+    rng.shuffle(order)
+    expect = np.concatenate([order[p::P][:4] for p in range(P)])
+    np.testing.assert_array_equal(np.sort(gb), np.sort(expect))
+    np.testing.assert_array_equal(gb, expect)
+
+
+def test_shard_host_batch_places_global_batch():
+    """shard_host_batch shards the batch dim over the full mesh (single process)."""
+    import numpy as np
+
+    from mammo_clip_tpu.core.mesh import MeshContext
+
+    ctx = MeshContext.create(data=8, model=1)
+    batch = {"images": np.arange(16 * 4, dtype=np.float32).reshape(16, 4)}
+    out = ctx.shard_host_batch(batch)
+    arr = out["images"]
+    assert arr.shape == (16, 4)
+    assert len(arr.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(arr), batch["images"])
