@@ -121,10 +121,11 @@ def _depthwise(xp, k_ref, h_tile, width):
 
 
 def _bc(v, width):
-    """(C, 1, 1) -> (C, 1, W) lane-broadcast. Mosaic cannot broadcast sublanes and
-    lanes in ONE op; after this only the (supported) sublane broadcast remains in
-    the consuming elementwise op."""
-    return jax.lax.broadcast_in_dim(v, (v.shape[0], 1, width), (0, 1, 2))
+    """(C, 1, 1) -> (C, 1, W) lane-expansion. Mosaic cannot broadcast sublanes and
+    lanes in ONE op, and a plain broadcast_in_dim chain gets re-folded by jax —
+    multiplying by a ones row is an actual op, so only the (supported) sublane
+    broadcast remains in the consuming elementwise op."""
+    return v * jnp.ones((1, 1, width), v.dtype)
 
 
 def _bn_apply(t, mean_ref, inv_ref, gamma_ref, beta_ref):

@@ -41,7 +41,33 @@ def spec_for_path(path: str) -> P:
     return P()
 
 
-def shard_train_state(state, mesh: Mesh):
+FSDP_MIN_SIZE = 2 ** 16  # don't bother sharding tiny leaves (BN scales, biases)
+
+
+def fsdp_spec(shape, data_size: int, base: P) -> P:
+    """ZeRO-3-style spec: shard the largest divisible dim of a big param over
+    'data'. GSPMD then keeps only 1/data_size of the weights (and their optimizer
+    moments) resident per chip and all-gathers them at use — the JAX equivalent of
+    torch FSDP, with the collective riding ICI inside the compiled step.
+
+    TP-sharded params (base != P()) are left on their Megatron split; a combined
+    TP+FSDP split of the same tensor is possible but not worth it at this scale."""
+    if base != P() or not shape:
+        return base
+    import math
+
+    if math.prod(shape) < FSDP_MIN_SIZE:
+        return P()
+    dims = [d for d in range(len(shape)) if shape[d] % data_size == 0 and shape[d] > 1]
+    if not dims:
+        return P()
+    d = max(dims, key=lambda i: shape[i])
+    spec = [None] * len(shape)
+    spec[d] = "data"
+    return P(*spec)
+
+
+def shard_train_state(state, mesh: Mesh, fsdp: bool = False):
     """Place an entire TrainState on a mesh: params (and the optimizer moments that
     mirror them) per PARTITION_RULES, every other leaf replicated ON THE MESH.
 
@@ -51,7 +77,7 @@ def shard_train_state(state, mesh: Mesh):
     device sets — so every leaf, including scalars like ``step`` and optax's ``count``,
     must move to the mesh.
     """
-    param_shardings = partition_params(state.params, mesh)
+    param_shardings = partition_params(state.params, mesh, fsdp=fsdp)
     flat_specs = {}
     for kp, sharding in jax.tree_util.tree_flatten_with_path(param_shardings)[0]:
         flat_specs["/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)] = sharding
@@ -76,8 +102,11 @@ def shard_train_state(state, mesh: Mesh):
     )
 
 
-def partition_params(params, mesh: Mesh):
-    """Return a pytree of NamedShardings matching ``params``' structure."""
+def partition_params(params, mesh: Mesh, fsdp: bool = False):
+    """Return a pytree of NamedShardings matching ``params``' structure.
+
+    fsdp=True additionally shards every large still-replicated param over the
+    'data' axis (see fsdp_spec)."""
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
@@ -86,7 +115,14 @@ def partition_params(params, mesh: Mesh):
             str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
         )
 
-    specs = {path_str(kp): spec_for_path(path_str(kp)) for kp, _ in flat}
+    data_size = dict(mesh.shape).get("data", 1)
+    specs = {}
+    for kp, leaf in flat:
+        ps = path_str(kp)
+        spec = spec_for_path(ps)
+        if fsdp:
+            spec = fsdp_spec(getattr(leaf, "shape", ()), data_size, spec)
+        specs[ps] = spec
 
     def assign(kp, _leaf):
         return NamedSharding(mesh, specs[path_str(kp)])
