@@ -67,6 +67,8 @@ def main(argv=None) -> None:
     ap.add_argument("--focal-gamma", type=float, default=2.0)
     ap.add_argument("--score-threshold", type=float, default=0.2)
     ap.add_argument("--freeze-backbone", action="store_true")
+    ap.add_argument("--soft-nms", action="store_true",
+                    help="gaussian soft-NMS at eval (score decay instead of kill)")
     ap.add_argument("--workdir", default="outputs/detector")
     args = ap.parse_args(argv)
 
@@ -142,14 +144,15 @@ def main(argv=None) -> None:
     for epoch in range(args.epochs):
         for batch in batches(train_tab, args.batch_size, True, seed=epoch):
             state, ld = train_step(
-                {k: v for k, v in batch.items() if k != "ids"} if False else state,
+                state,
                 {k: v for k, v in batch.items() if k != "ids"},
                 jax.random.PRNGKey(epoch),
             )
         dets, anns = [], []
         for batch in batches(valid_tab, args.batch_size, False):
             out = infer_step(state, {k: v for k, v in batch.items() if k != "ids"})
-            d = detect(out, jnp.asarray(anchors), (H, W), score_threshold=0.05)
+            d = detect(out, jnp.asarray(anchors), (H, W), score_threshold=0.05,
+                       nms="soft" if args.soft_nms else "hard")
             for i in range(len(batch["ids"])):
                 dets.append({k: np.asarray(v[i]) for k, v in d.items()})
                 anns.append(np.asarray(batch["annotations"][i]))

@@ -170,15 +170,32 @@ def detect(
     score_threshold: float = 0.05,
     iou_threshold: float = 0.5,
     top_k_per_class: int = 100,
+    nms: str = "hard",
+    soft_nms_sigma: float = 0.5,
 ):
-    """Decode + clip + per-class static NMS for a whole batch.
+    """Decode + clip + per-class NMS for a whole batch.
 
     Returns dict of (B, C*K, ...) arrays: boxes, scores, classes, valid.
     Reference eval path: detector_model.py:331-354 (score>0.05 filter, NMS@0.5).
+    ``nms='soft'`` swaps in gaussian soft-NMS (Bodla 2017) — overlapping boxes are
+    score-decayed instead of killed; same shape-static TPU cost.
     """
 
     def per_image(cls_probs, deltas):
         boxes = clip_boxes(decode_boxes(anchors, deltas), image_shape)
+        if nms == "soft":
+            from ..ops.nms import soft_nms
+
+            def per_class(c_scores):
+                return soft_nms(boxes, c_scores, sigma=soft_nms_sigma,
+                                iou_threshold=iou_threshold,
+                                score_threshold=score_threshold,
+                                top_k=top_k_per_class)
+
+            bb, ss, vv = jax.vmap(per_class, in_axes=1)(cls_probs)  # (C, K, ...)
+            C = cls_probs.shape[1]
+            cc = jnp.broadcast_to(jnp.arange(C)[:, None], (C, top_k_per_class))
+            return bb.reshape(-1, 4), ss.reshape(-1), cc.reshape(-1), vv.reshape(-1)
         return batched_class_nms(
             boxes, cls_probs, iou_threshold, score_threshold, top_k_per_class
         )

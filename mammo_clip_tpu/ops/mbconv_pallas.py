@@ -109,29 +109,22 @@ def _tile_with_halo(xm_ref, xt_ref, xb_ref, i, n_tiles):
 def _depthwise(xp, k_ref, h_tile, width):
     """d[c, r, w] = sum_ab K[c, a, b] * xp[c, r+a, w+b]; xp: (C, hT+2, W+2) fp32.
 
-    All intermediates stay rank >= 2 (Mosaic's layout engine rejects rank-1
-    vectors): taps are sliced as (C, 1, 1) and broadcast in the minor dims."""
+    k_ref is the host-pre-expanded (C, 9, W) tap bank: Mosaic cannot broadcast
+    sublanes and lanes in one op (and re-folds any in-kernel two-step broadcast),
+    so every per-channel constant arrives lane-expanded and only the supported
+    sublane broadcast happens in the consuming elementwise op."""
     d = None
     for a in range(3):
         for b in range(3):
-            tap = _bc(k_ref[:, a : a + 1, b : b + 1], width)  # (C,1,W) fp32
+            tap = k_ref[:, 3 * a + b : 3 * a + b + 1, :]  # (C,1,W) fp32
             term = xp[:, a : a + h_tile, b : b + width] * tap
             d = term if d is None else d + term
     return d  # (C, hT, W) fp32
 
 
-def _bc(v, width):
-    """(C, 1, 1) -> (C, 1, W) lane-expansion. Mosaic cannot broadcast sublanes and
-    lanes in ONE op, and a plain broadcast_in_dim chain gets re-folded by jax —
-    multiplying by a ones row is an actual op, so only the (supported) sublane
-    broadcast remains in the consuming elementwise op."""
-    return v * jnp.ones((1, 1, width), v.dtype)
-
-
 def _bn_apply(t, mean_ref, inv_ref, gamma_ref, beta_ref):
-    """(t - mean) * inv * gamma + beta; per-channel vectors are (C, 1, 1) refs."""
-    w = t.shape[2]
-    return (t - _bc(mean_ref[:], w)) * _bc(inv_ref[:] * gamma_ref[:], w) + _bc(beta_ref[:], w)
+    """(t - mean) * inv * gamma + beta; per-channel vectors are (C, 1, W) refs."""
+    return (t - mean_ref[:]) * (inv_ref[:] * gamma_ref[:]) + beta_ref[:]
 
 
 def _rowwise_ab(a, b):
@@ -186,9 +179,10 @@ def _halo_specs(C, h_tile, W, H):
     return n_tiles, [xm, xt, xb]
 
 
-def _vec_spec(C):
-    """(C, 1, 1) channel-vector blocks: read as rank-3, broadcast in minor dims."""
-    return pl.BlockSpec((C, 1, 1), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM)
+def _vec_spec(C, W):
+    """(C, 1, W) lane-expanded channel-vector blocks (constant index map: the
+    pipeline DMAs them once and keeps them VMEM-resident across grid steps)."""
+    return pl.BlockSpec((C, 1, W), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM)
 
 
 # --------------------------------------------------------------------------------
@@ -233,7 +227,7 @@ def _p3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, k, m1, inv1, g1, b1,
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
     d = _depthwise(xp, k, h_tile, W)
     v = _silu(_bn_apply(d, m1, inv1, g1, b1))
-    u = v * _bc(gate[0], v.shape[2])
+    u = v * gate[0]
     y = _project(wp, u)  # (C2, hT, W)
     yhat = _bn_apply(y, m2, inv2, g2, b2)
     res = delta[pl.program_id(0), 0] * yhat
@@ -262,10 +256,9 @@ def _b1_kernel(n_tiles, h_tile, W, xm, xt, xb, gm, k, m1, inv1, g1, b1, gate, wp
     """
     i = pl.program_id(1)
     _, _, _, v = _recompute_to_v(xm, xt, xb, k, m1, inv1, g1, b1, i, n_tiles, h_tile, W)
-    w = v.shape[2]
-    u = v * _bc(gate[0], w)
+    u = v * gate[0]
     y = _project(wp, u)
-    ybar = (y - _bc(m2[:], w)) * _bc(inv2[:], w)
+    ybar = (y - m2[:]) * inv2[:]
     dyhat = gm[0].astype(jnp.float32) * delta[pl.program_id(0), 0]
 
     @pl.when(_first_step())
@@ -285,12 +278,11 @@ def _b1_kernel(n_tiles, h_tile, W, xm, xt, xb, gm, k, m1, inv1, g1, b1, gate, wp
 
 def _dy_tile(gm, v, gate, wp, m2, inv2, g2, alpha, beta_r, delta, h_tile):
     """dy = A·dŷ - a - ȳ·b with per-channel constants; recomputes y/ȳ from v."""
-    w = v.shape[2]
-    u = v * _bc(gate[0], w)
+    u = v * gate[0]
     y = _project(wp, u)
-    ybar = (y - _bc(m2[:], w)) * _bc(inv2[:], w)
+    ybar = (y - m2[:]) * inv2[:]
     dyhat = gm[0].astype(jnp.float32) * delta[pl.program_id(0), 0]
-    dy = _bc(g2[:] * inv2[:], w) * dyhat - _bc(alpha[:], w) - ybar * _bc(beta_r[:], w)
+    dy = (g2[:] * inv2[:]) * dyhat - alpha[:] - ybar * beta_r[:]
     return u, y, ybar, dy
 
 
@@ -310,10 +302,9 @@ def _b2_kernel(n_tiles, h_tile, W, xm, xt, xb, gm, k, m1, inv1, g1, b1, gate, wp
                               delta, h_tile)
     # du[c1] = sum_c2 wp[c1, c2] dy[c2] (project contracted on the output channel)
     du = _project(wp, dy, transpose=True)
-    w = du.shape[2]
-    dv = du * _bc(gate[0], w) + _bc(ds_hw[0], w)
+    dv = du * gate[0] + ds_hw[0]
     ddhat = dv * _dsilu(dhat)
-    dbar = (d - _bc(m1[:], w)) * _bc(inv1[:], w)
+    dbar = (d - m1[:]) * inv1[:]
 
     @pl.when(_first_step())
     def _():
@@ -358,7 +349,7 @@ def _b3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, gm, gt, gb, k, m1, inv1
     d_ext = None
     for a in range(3):
         for b in range(3):
-            tap = _bc(k[:, a : a + 1, b : b + 1], W)
+            tap = k[:, 3 * a + b : 3 * a + b + 1, :]
             term = xp4[:, a : a + h_ext, b + 1 : b + 1 + W] * tap
             d_ext = term if d_ext is None else d_ext + term
     dhat_ext = _bn_apply(d_ext, m1, inv1, g1, b1)
@@ -368,19 +359,16 @@ def _b3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, gm, gt, gb, k, m1, inv1
     g_bot = gb[0, :, 0:1, :].astype(jnp.float32) * bot_m
     g_ext = jnp.concatenate([g_top, gm[0].astype(jnp.float32), g_bot], axis=1)
 
-    wl = v_ext.shape[2]
-    u_ext = v_ext * _bc(gate[0], wl)
+    u_ext = v_ext * gate[0]
     y_ext = _project(wp, u_ext)
-    ybar_ext = (y_ext - _bc(m2[:], wl)) * _bc(inv2[:], wl)
+    ybar_ext = (y_ext - m2[:]) * inv2[:]
     dyhat_ext = g_ext * delta[pl.program_id(0), 0]
-    dy_ext = (_bc(g2[:] * inv2[:], wl) * dyhat_ext - _bc(alpha[:], wl)
-              - ybar_ext * _bc(beta_r[:], wl))
+    dy_ext = (g2[:] * inv2[:]) * dyhat_ext - alpha[:] - ybar_ext * beta_r[:]
     du_ext = _project(wp, dy_ext, transpose=True)
-    dv_ext = du_ext * _bc(gate[0], wl) + _bc(ds_hw[0], wl)
+    dv_ext = du_ext * gate[0] + ds_hw[0]
     ddhat_ext = dv_ext * _dsilu(dhat_ext)
-    dbar_ext = (d_ext - _bc(m1[:], wl)) * _bc(inv1[:], wl)
-    dd_ext = (_bc(g1[:] * inv1[:], wl) * ddhat_ext - _bc(r1a[:], wl)
-              - dbar_ext * _bc(r1b[:], wl))
+    dbar_ext = (d_ext - m1[:]) * inv1[:]
+    dd_ext = (g1[:] * inv1[:]) * ddhat_ext - r1a[:] - dbar_ext * r1b[:]
     # zero dd on rows outside the image (the recompute used zero-masked x, but
     # BN subtraction makes out-of-image dd nonzero — mask explicitly)
     row0_valid = jnp.where(i > 0, 1.0, 0.0)
@@ -402,7 +390,7 @@ def _b3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, gm, gt, gb, k, m1, inv1
     dx = None
     for a in range(3):
         for b in range(3):
-            tap = _bc(k[:, a : a + 1, b : b + 1], W)
+            tap = k[:, 3 * a + b : 3 * a + b + 1, :]
             term = dd_pad[:, (2 - a) : (2 - a) + h_tile, (2 - b) : (2 - b) + W] * tap
             dx = term if dx is None else dx + term
     if residual:
@@ -415,8 +403,12 @@ def _b3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, gm, gt, gb, k, m1, inv1
 # --------------------------------------------------------------------------------
 
 
-def _channel_vecs(*vs):
-    return [v.reshape(-1, 1, 1).astype(jnp.float32) for v in vs]
+def _channel_vecs(width, *vs):
+    """Lane-expand channel vectors to (C, 1, W) on the host side (see _depthwise)."""
+    return [
+        jnp.broadcast_to(v.reshape(-1, 1, 1).astype(jnp.float32), (v.size, 1, width))
+        for v in vs
+    ]
 
 
 def _se_gate(s_mean, p: MBConvParams):
@@ -463,8 +455,10 @@ def _forward(x, p: MBConvParams, delta, eps, interpret):
     n_tiles, halo = _halo_specs(C, h_tile, W, H)
     grid = (N, n_tiles)
     nhw = N * H * W
-    kspec = pl.BlockSpec((C, 3, 3), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM)
-    k = p.dw_kernel.astype(jnp.float32)
+    kspec = pl.BlockSpec((C, 9, W), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM)
+    k = jnp.broadcast_to(
+        p.dw_kernel.astype(jnp.float32).reshape(C, 9, 1), (C, 9, W)
+    )
 
     # ---- P1: BN1 batch stats
     sums = _grid_call(
@@ -480,8 +474,8 @@ def _forward(x, p: MBConvParams, delta, eps, interpret):
     var1 = jnp.maximum(sums[:, 0, 1] / nhw - mean1 * mean1, 0.0)
     inv1 = jax.lax.rsqrt(var1 + eps)
 
-    m1v, inv1v, g1v, b1v = _channel_vecs(mean1, inv1, p.gamma1, p.beta1)
-    vec = _vec_spec(C)
+    m1v, inv1v, g1v, b1v = _channel_vecs(W, mean1, inv1, p.gamma1, p.beta1)
+    vec = _vec_spec(C, W)
 
     # ---- P2: SE squeeze + per-image second moments
     s_sum, m_img = _grid_call(
@@ -512,10 +506,12 @@ def _forward(x, p: MBConvParams, delta, eps, interpret):
     var2 = jnp.maximum(ey2 - mean2 * mean2, 0.0)
     inv2 = jax.lax.rsqrt(var2 + eps)
 
-    m2v, inv2v, g2v, b2v = _channel_vecs(mean2, inv2, p.gamma2, p.beta2)
-    vec2 = _vec_spec(C2)
-    gate_rows = gate.reshape(N, C, 1, 1).astype(jnp.float32)
-    gate_spec = pl.BlockSpec((1, C, 1, 1), lambda n, i: (n, 0, 0, 0),
+    m2v, inv2v, g2v, b2v = _channel_vecs(W, mean2, inv2, p.gamma2, p.beta2)
+    vec2 = _vec_spec(C2, W)
+    gate_rows = jnp.broadcast_to(
+        gate.reshape(N, C, 1, 1).astype(jnp.float32), (N, C, 1, W)
+    )
+    gate_spec = pl.BlockSpec((1, C, 1, W), lambda n, i: (n, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((C, C2), lambda n, i: (0, 0), memory_space=pltpu.VMEM)
     delta_rows = delta.reshape(N, 1).astype(jnp.float32)
@@ -554,16 +550,20 @@ def _bwd(eps, interpret, res, cot):
     grid = (N, n_tiles)
     nhw = N * H * W
     hw = H * W
-    kspec = pl.BlockSpec((C, 3, 3), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM)
-    k = p.dw_kernel.astype(jnp.float32)
+    kspec = pl.BlockSpec((C, 9, W), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM)
+    k = jnp.broadcast_to(
+        p.dw_kernel.astype(jnp.float32).reshape(C, 9, 1), (C, 9, W)
+    )
     inv1 = jax.lax.rsqrt(var1 + eps)
     inv2 = jax.lax.rsqrt(var2 + eps)
-    vec = _vec_spec(C)
-    vec2 = _vec_spec(C2)
-    m1v, inv1v, g1v, b1v = _channel_vecs(mean1, inv1, p.gamma1, p.beta1)
-    m2v, inv2v, g2v, b2v = _channel_vecs(mean2, inv2, p.gamma2, p.beta2)
-    gate_rows = gate.reshape(N, C, 1, 1).astype(jnp.float32)
-    gate_spec = pl.BlockSpec((1, C, 1, 1), lambda n, i: (n, 0, 0, 0),
+    vec = _vec_spec(C, W)
+    vec2 = _vec_spec(C2, W)
+    m1v, inv1v, g1v, b1v = _channel_vecs(W, mean1, inv1, p.gamma1, p.beta1)
+    m2v, inv2v, g2v, b2v = _channel_vecs(W, mean2, inv2, p.gamma2, p.beta2)
+    gate_rows = jnp.broadcast_to(
+        gate.reshape(N, C, 1, 1).astype(jnp.float32), (N, C, 1, W)
+    )
+    gate_spec = pl.BlockSpec((1, C, 1, W), lambda n, i: (n, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     wp = p.wp.astype(jnp.float32)
     wspec = pl.BlockSpec((C, C2), lambda n, i: (0, 0), memory_space=pltpu.VMEM)
@@ -619,11 +619,13 @@ def _bwd(eps, interpret, res, cot):
     dse_w1 = jnp.einsum("nc,ns->cs", s_mean, dz1)
     dse_b1 = jnp.sum(dz1, axis=0)
     ds = dz1 @ p.se_w1.T  # (N, C): dL/ds_mean
-    ds_hw = (ds / hw).reshape(N, C, 1, 1).astype(jnp.float32)  # per-pixel dv addend
+    ds_hw = jnp.broadcast_to(
+        (ds / hw).reshape(N, C, 1, 1).astype(jnp.float32), (N, C, 1, W)
+    )  # per-pixel dv addend
 
-    ds_spec = pl.BlockSpec((1, C, 1, 1), lambda n, i: (n, 0, 0, 0),
+    ds_spec = pl.BlockSpec((1, C, 1, W), lambda n, i: (n, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    alphav, betav = _channel_vecs(alpha, beta_r)
+    alphav, betav = _channel_vecs(W, alpha, beta_r)
 
     # ---- B2
     r1, dwp, taps = _grid_call(
@@ -660,7 +662,7 @@ def _bwd(eps, interpret, res, cot):
     )  # (C, 9)
     ddw = dk.reshape(C, 3, 3)
 
-    r1av, r1bv = _channel_vecs(r1a, r1b)
+    r1av, r1bv = _channel_vecs(W, r1a, r1b)
     # ---- B3: halo specs with 2 rows for x, 1 row for G
     # B3 needs 2-row x halos and 1-row G halos: all served by the same 8-row
     # neighbor blocks (sliced in-kernel; index maps in BLOCK units of 8 rows).

@@ -89,3 +89,56 @@ def batched_class_nms(
         classes.reshape(-1),
         v.reshape(-1),
     )
+
+
+@partial(jax.jit, static_argnames=("top_k", "method"))
+def soft_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    sigma: float = 0.5,
+    iou_threshold: float = 0.5,
+    score_threshold: float = 0.05,
+    top_k: int = 100,
+    method: str = "gaussian",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Soft-NMS (Bodla et al. 2017), shape-static.
+
+    Instead of killing overlapping boxes, each selection DECAYS its neighbours'
+    scores — gaussian: s *= exp(-iou^2 / sigma); linear: s *= (1 - iou) for
+    iou > threshold. Same fori_loop + (K, K) IoU structure as static_nms, so the
+    TPU cost is identical. Returns (top_k, 4) boxes, decayed scores, valid mask
+    (score still above score_threshold after decay).
+    """
+    scores = jnp.where(scores >= score_threshold, scores, 0.0)
+    k = min(top_k, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_boxes = boxes[top_idx]
+    iou = box_iou(top_boxes, top_boxes)  # (k, k)
+
+    def body(i, carry):
+        cur, done, order = carry
+        # highest remaining (not-yet-processed) score
+        masked = jnp.where(done, -jnp.inf, cur)
+        j = jnp.argmax(masked)
+        done = done.at[j].set(True)
+        order = order.at[i].set(j)
+        row = iou[j]
+        if method == "gaussian":
+            decay = jnp.exp(-(row * row) / sigma)
+        else:
+            decay = jnp.where(row > iou_threshold, 1.0 - row, 1.0)
+        decay = jnp.where(done, 1.0, decay)  # never decay already-emitted boxes
+        return cur * decay, done, order
+
+    init = (top_scores, jnp.zeros((k,), bool), jnp.zeros((k,), jnp.int32))
+    final_scores, _, order = jax.lax.fori_loop(0, k, body, init)
+    out_boxes = top_boxes[order]
+    out_scores = final_scores[order]
+    valid = out_scores > score_threshold
+    out_scores = jnp.where(valid, out_scores, 0.0)
+    if k < top_k:
+        pad = top_k - k
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return out_boxes, out_scores, valid

@@ -10,6 +10,7 @@
 // Build: make -C mammo_clip_tpu/preprocess/native   (g++ -O3 -shared)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -148,6 +149,78 @@ void preprocess_mammogram_u16(const uint16_t* raw, int h, int w, int invert,
   for (int y = 0; y < ch; ++y)
     std::memcpy(&cropped[int64_t(y) * cw], &norm[int64_t(y0 + y) * w + x0], cw);
   area_resize_u8(cropped.data(), ch, cw, out, out_h, out_w);
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Contrast-limited adaptive histogram equalization (CLAHE), matching OpenCV's
+// algorithm (tile histograms -> clip + uniform excess redistribution -> CDF LUTs
+// -> bilinear LUT interpolation). The reference's transform config is literally
+// named "clahe.yaml" but never applies CLAHE (configs/transform/clahe.yaml);
+// this makes the op actually available for offline preprocessing experiments.
+// h, w need not be divisible by the tile grid (edge tiles are larger, like cv2's
+// border extension in effect).
+void clahe_u8(const uint8_t* src, int h, int w, int tiles_y, int tiles_x,
+              float clip_limit, uint8_t* dst) {
+  tiles_y = std::max(1, tiles_y);
+  tiles_x = std::max(1, tiles_x);
+  const int th = (h + tiles_y - 1) / tiles_y;
+  const int tw = (w + tiles_x - 1) / tiles_x;
+  std::vector<float> luts(size_t(tiles_y) * tiles_x * 256);
+
+  for (int ty = 0; ty < tiles_y; ++ty) {
+    for (int tx = 0; tx < tiles_x; ++tx) {
+      const int y0 = ty * th, y1 = std::min(y0 + th, h);
+      const int x0 = tx * tw, x1 = std::min(x0 + tw, w);
+      const int area = (y1 - y0) * (x1 - x0);
+      int hist[256] = {0};
+      for (int y = y0; y < y1; ++y)
+        for (int x = x0; x < x1; ++x) ++hist[src[int64_t(y) * w + x]];
+      // clip + redistribute (cv2: clip value scales with tile area)
+      const int clip = std::max(1, int(clip_limit * area / 256.0f));
+      int excess = 0;
+      for (int i = 0; i < 256; ++i) {
+        if (hist[i] > clip) { excess += hist[i] - clip; hist[i] = clip; }
+      }
+      const int bonus = excess / 256, rem = excess % 256;
+      for (int i = 0; i < 256; ++i) hist[i] += bonus + (i < rem ? 1 : 0);
+      // CDF -> LUT
+      float* lut = &luts[(size_t(ty) * tiles_x + tx) * 256];
+      int cdf = 0;
+      const float scale = 255.0f / float(area);
+      for (int i = 0; i < 256; ++i) {
+        cdf += hist[i];
+        lut[i] = scale * cdf;
+      }
+    }
+  }
+
+  // bilinear interpolation between the four surrounding tile LUTs
+  for (int y = 0; y < h; ++y) {
+    const float fy = (float(y) - th / 2.0f + 0.5f) / th;
+    int ty0 = int(std::floor(fy));
+    const float wy = fy - ty0;
+    int ty1 = std::min(std::max(ty0 + 1, 0), tiles_y - 1);
+    ty0 = std::min(std::max(ty0, 0), tiles_y - 1);
+    for (int x = 0; x < w; ++x) {
+      const float fx = (float(x) - tw / 2.0f + 0.5f) / tw;
+      int tx0 = int(std::floor(fx));
+      const float wx = fx - tx0;
+      int tx1 = std::min(std::max(tx0 + 1, 0), tiles_x - 1);
+      tx0 = std::min(std::max(tx0, 0), tiles_x - 1);
+      const int v = src[int64_t(y) * w + x];
+      const float v00 = luts[(size_t(ty0) * tiles_x + tx0) * 256 + v];
+      const float v01 = luts[(size_t(ty0) * tiles_x + tx1) * 256 + v];
+      const float v10 = luts[(size_t(ty1) * tiles_x + tx0) * 256 + v];
+      const float v11 = luts[(size_t(ty1) * tiles_x + tx1) * 256 + v];
+      const float top = v00 * (1 - wx) + v01 * wx;
+      const float bot = v10 * (1 - wx) + v11 * wx;
+      const float out = top * (1 - wy) + bot * wy;
+      dst[int64_t(y) * w + x] = uint8_t(std::min(std::max(out, 0.0f), 255.0f) + 0.5f);
+    }
+  }
 }
 
 }  // extern "C"

@@ -45,6 +45,8 @@ def load_native() -> Optional[ctypes.CDLL]:
         u16p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u8p, ctypes.c_int, ctypes.c_int, i32p,
     ]
+    lib.clahe_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                             ctypes.c_int, ctypes.c_float, u8p]
     _lib = lib
     return lib
 
@@ -94,3 +96,16 @@ def preprocess_mammogram_native(
         _ptr(bounds, ctypes.c_int32),
     )
     return out, tuple(int(v) for v in bounds)
+
+
+def clahe_native(img: np.ndarray, tiles: Tuple[int, int] = (8, 8),
+                 clip_limit: float = 2.0) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization (parity with cv2 CLAHE
+    within +-1 gray level)."""
+    lib = load_native()
+    assert lib is not None and img.dtype == np.uint8 and img.ndim == 2
+    img = np.ascontiguousarray(img)
+    out = np.zeros_like(img)
+    lib.clahe_u8(_ptr(img, ctypes.c_uint8), img.shape[0], img.shape[1],
+                 tiles[0], tiles[1], clip_limit, _ptr(out, ctypes.c_uint8))
+    return out

@@ -214,3 +214,62 @@ def test_evaluate_map_excludes_no_finding():
     res = evaluate_map(det, ann, num_classes=2, class_names=["Mass", "No Finding"])
     # class 1 ('No Finding') has GT but is excluded from the mean
     assert res["mAP"] == res["AP/Mass"] == 1.0
+
+
+def test_soft_nms_decays_overlaps():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mammo_clip_tpu.ops.nms import soft_nms, static_nms
+
+    boxes = jnp.asarray([
+        [0, 0, 10, 10],
+        [1, 1, 11, 11],    # heavy overlap with box 0
+        [50, 50, 60, 60],  # disjoint
+    ], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7], jnp.float32)
+
+    b, s, v = soft_nms(boxes, scores, sigma=0.5, top_k=3)
+    s = np.asarray(s)
+    # best box keeps its score; the overlapping one is decayed but alive;
+    # the disjoint one is untouched
+    assert abs(s[0] - 0.9) < 1e-6
+    overlap_score = s[np.argmax(np.asarray(b)[:, 0] == 1)]
+    assert 0.0 < overlap_score < 0.8 - 1e-4
+    assert np.isclose(sorted(s)[1] if overlap_score == sorted(s)[0] else max(
+        x for x in s if abs(x - 0.9) > 1e-6 and x != overlap_score), 0.7, atol=1e-6)
+
+    # hard NMS kills the overlap entirely — soft keeps it
+    _, s_hard, v_hard = static_nms(boxes, scores, iou_threshold=0.5, top_k=3)
+    assert int(np.asarray(v_hard).sum()) == 2
+    assert int(np.asarray(v).sum()) == 3
+
+
+def test_soft_nms_linear_matches_reference_formula():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mammo_clip_tpu.ops.boxes import box_iou
+    from mammo_clip_tpu.ops.nms import soft_nms
+
+    rng = np.random.default_rng(0)
+    centers = rng.uniform(10, 90, (8, 2))
+    wh = rng.uniform(5, 15, (8, 2))
+    boxes = jnp.asarray(np.concatenate([centers - wh / 2, centers + wh / 2], 1), jnp.float32)
+    scores = jnp.asarray(rng.uniform(0.2, 1.0, 8), jnp.float32)
+
+    b, s, v = soft_nms(boxes, scores, top_k=8, method="linear", iou_threshold=0.3)
+    # python reference of the classic greedy soft-NMS
+    B = np.asarray(boxes); S = np.asarray(scores).copy()
+    got = []
+    alive = list(range(8))
+    while alive:
+        j = max(alive, key=lambda i: S[i])
+        got.append((tuple(B[j]), S[j]))
+        alive.remove(j)
+        for i in alive:
+            iou = float(np.asarray(box_iou(jnp.asarray(B[None, j]), jnp.asarray(B[None, i])))[0, 0])
+            if iou > 0.3:
+                S[i] *= 1.0 - iou
+    ref_scores = np.array([x[1] for x in got])
+    np.testing.assert_allclose(np.asarray(s), np.where(ref_scores > 0.05, ref_scores, 0.0), rtol=1e-5)

@@ -169,3 +169,17 @@ def test_dicom_tool_end_to_end_without_pydicom(dicom_native, tmp_path):
     assert np.median(interior) <= 2
     rows = pd.read_csv(bounds_csv)
     assert set(rows["image_id"]) == {"rsna_case", "vindr_case"}
+
+
+def test_native_clahe_matches_cv2(native):
+    import cv2
+
+    rng = np.random.default_rng(3)
+    img = np.ascontiguousarray(rng.normal(120, 30, (256, 192)).clip(0, 255).astype(np.uint8))
+    ours = native.clahe_native(img, tiles=(8, 8), clip_limit=2.0)
+    ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(img)
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 1  # rounding-only differences
+    # and it actually equalizes: output histogram is flatter than the input's
+    assert np.std(np.bincount(ours.ravel(), minlength=256)) < np.std(
+        np.bincount(img.ravel(), minlength=256))
