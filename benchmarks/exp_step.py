@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--bert-remat", action="store_true", help="rematerialize BERT layers")
     ap.add_argument("--fused-mbconv", action="store_true",
                     help="fused Pallas MBConv for the qualifying early-stage blocks")
+    ap.add_argument("--tpu-opt", action="store_true",
+                    help="tpu_optimized encoder variant (space-to-depth front end)")
     ap.add_argument("--compile-only", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--group", type=int, default=5)
@@ -65,6 +67,8 @@ def main() -> None:
         cfg.model.text_encoder.gradient_checkpointing = True
     if args.fused_mbconv:
         cfg.model.image_encoder.fused_mbconv = True
+    if args.tpu_opt:
+        cfg.model.image_encoder.tpu_optimized = True
     B = args.batch
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length

@@ -356,6 +356,14 @@ class EfficientNet(nn.Module):
     #   s=1) through the fused Pallas megakernel in NCHW (ops/mbconv_pallas.py):
     #   ~4-6x less HBM traffic on the stage-1 blocks that dominate the step.
     #   Checkpoint-identical params; exact train-BN semantics; Flax path for eval.
+    tpu_optimized: bool = False  # OPT-IN, trains from scratch, NOT checkpoint-
+    #   compatible with the reference: replaces stem + stages 1-2 (the narrow-
+    #   channel feature maps whose bf16 lane padding wastes up to 5.3x HBM bytes
+    #   at 456x760) with space-to-depth(4) -> conv3x3 to C=128 -> two MBConv(e=2,
+    #   C=128) blocks at 1/4 resolution — fully lane-dense and MXU-friendly.
+    #   Stages 3+ are unchanged apart from stage 3's entry block taking C=128
+    #   (expand_ratio 2, same expanded width ballpark as the original 240).
+    #   CLIP-pretraining only: feature_taps must be empty (block indices shift).
     pooling: str = "avg"  # 'avg' (lukemelas path) or 'gem' (the reference's timm
     #   EfficientNet_Mammo GeM(p=3) option, image_encoder.py:95-116)
     dtype: Any = jnp.float32
@@ -380,16 +388,46 @@ class EfficientNet(nn.Module):
         )
 
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            stem_filters(self.variant),
-            (3, 3),
-            strides=(2, 2),
-            padding="SAME",
-            use_bias=False,
-            dtype=self.dtype,
-            name="stem_conv",
-        )(x)
-        x = jax.nn.silu(bn("stem_bn")(x))
+        block_offset = 0
+        if self.tpu_optimized:
+            assert not self.feature_taps, "tpu_optimized supports pretraining only"
+            n, h, w, c = x.shape
+            assert h % 4 == 0 and w % 4 == 0, f"space-to-depth(4) needs /4 dims, got {x.shape}"
+            # space-to-depth(4): (N, H/4, W/4, 16*C) — every tensor from here on
+            # has C >= 128, so bf16 lanes are dense
+            x = x.reshape(n, h // 4, 4, w // 4, 4, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 4, w // 4, 16 * c)
+            x = nn.Conv(128, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name="tpu_stem_conv")(x)
+            x = jax.nn.silu(bn("tpu_stem_bn")(x))
+            front = BlockArgs(kernel=3, stride=1, expand_ratio=2, in_filters=128,
+                              out_filters=128, se_ratio=0.25)
+            for j in range(2):
+                x = MBConvBlock(front, drop_rate=0.0, dtype=self.dtype,
+                                name=f"tpu_front_block_{j}")(x, train)
+            # drop the original stem + every block above 1/4 scale; stage 3's
+            # entry block now takes C=128 at a comparable expanded width (e=2)
+            sc = 2
+            skip = 0
+            for a in args:
+                if sc > 4 or (sc == 4 and a.stride > 1):
+                    break
+                sc *= a.stride
+                skip += 1
+            entry = args[skip]
+            args = [dataclasses.replace(entry, in_filters=128, expand_ratio=2)] + args[skip + 1:]
+            block_offset = skip
+        else:
+            x = nn.Conv(
+                stem_filters(self.variant),
+                (3, 3),
+                strides=(2, 2),
+                padding="SAME",
+                use_bias=False,
+                dtype=self.dtype,
+                name="stem_conv",
+            )(x)
+            x = jax.nn.silu(bn("stem_bn")(x))
 
         # Endpoint naming matches the reference's extract_endpoints
         # (efficientnet_custom.py:226-260): reduction_k is the last feature map at scale
@@ -398,7 +436,7 @@ class EfficientNet(nn.Module):
         taps: List[jnp.ndarray] = []
         prev = x
         remat_cls = nn.remat(MBConvBlock, static_argnums=(2,))
-        scale = 2  # stem is stride 2
+        scale = 4 if self.tpu_optimized else 2  # stem is stride 2 (s2d(4) in the variant)
         # packed-boundary bookkeeping: when x is packed it is (N, H, W*C) and
         # (cur_h, cur_w, cur_c) carries the logical shape (all static at trace time)
         cur_h, cur_w, cur_c = x.shape[1], x.shape[2], x.shape[3]
@@ -423,7 +461,8 @@ class EfficientNet(nn.Module):
                 and cur_h % 8 == 0
             )
 
-        for idx, a in enumerate(args):
+        for idx0, a in enumerate(args):
+            idx = idx0 + block_offset  # original numbering (stable deep-block names)
             rate = self.drop_connect_rate * idx / n_blocks
             use_remat = self.remat and scale <= self.remat_max_reduction
             use_fused = fused_ok(a)

@@ -131,3 +131,35 @@ def test_packed_residuals_identical():
     f2 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g2)])
     rel = float(jnp.linalg.norm(f1 - f2) / jnp.linalg.norm(f1))
     assert rel < 1e-5, rel  # measured 8.6e-7; remat-on-vs-off fusion noise is 3.8e-5
+
+
+def test_tpu_optimized_variant_trains():
+    """The space-to-depth variant: dense-lane front end, same output contract,
+    gradients flow everywhere (trains-from-scratch variant, not ckpt-compatible)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mammo_clip_tpu.models.efficientnet import EfficientNet, head_filters
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 48, 1)), jnp.float32)
+    m = EfficientNet(variant="b0", in_channels=1, tpu_optimized=True)
+    v = jax.jit(lambda x: m.init({"params": jax.random.PRNGKey(0)}, x, False))(x)
+    assert "tpu_stem_conv" in v["params"] and "tpu_front_block_0" in v["params"]
+    assert "stem_conv" not in v["params"]
+    # shallow blocks replaced: the first surviving block starts at 1/4 scale
+    assert "block_0" not in v["params"] and "block_1" not in v["params"]
+
+    out = jax.jit(lambda v, x: m.apply(v, x, False))(v, x)
+    assert out["pooled"].shape == (2, head_filters("b0"))
+    assert out["features"].shape[1:3] == (2, 2)  # 64/32, 48/32 (1/32 scale kept)
+
+    def loss(v, x):
+        o, mut = m.apply(v, x, True, rngs={"stochastic": jax.random.PRNGKey(1)},
+                         mutable=["batch_stats"])
+        return jnp.sum(o["pooled"].astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(loss))(v, x)
+    leaves = jax.tree_util.tree_leaves(g["params"])
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
