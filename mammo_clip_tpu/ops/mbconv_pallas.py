@@ -142,13 +142,20 @@ def _rowwise_ab(a, b):
 
 
 def _project(wp_ref, t, transpose=False):
-    """y[c2, h, w] = sum_c1 wp[c1, c2] t[c1, h, w] (transpose contracts c2)."""
+    """y[c2, h, w] = sum_c1 wp[c1, c2] t[c1, h, w] (transpose contracts c2).
+
+    Per-row 2-D MXU dots: Mosaic rejects the rank-3 dot (the internal (hT, W)
+    shape-cast merge is unsupported); plain (M, K) x (K, N) dots lower fine."""
     lhs_c = 1 if transpose else 0
-    return jax.lax.dot_general(
-        wp_ref[:], t,
-        dimension_numbers=(((lhs_c,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    rows = [
+        jax.lax.dot_general(
+            wp_ref[:], t[:, r, :],
+            dimension_numbers=(((lhs_c,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for r in range(t.shape[1])
+    ]
+    return jnp.stack(rows, axis=1)
 
 
 def _csum(t):
@@ -427,6 +434,9 @@ def _grid_call(kernel, *, grid, in_specs, out_shape, out_specs, interpret):
         out_shape=out_shape,
         out_specs=out_specs,
         interpret=interpret,
+        # stage-1 tiles (fp32 working set + double-buffered bf16 blocks) run just
+        # past the default 16 MB scoped-vmem budget; v5e has headroom above that
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
 
