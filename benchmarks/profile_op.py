@@ -1,0 +1,144 @@
+"""Capture a device trace for a workload and print the top ops by self time.
+
+The relay TPU supports jax.profiler tracing; the resulting .xplane.pb is parsed
+directly (XSpace -> device plane -> XLA op events) so no TensorBoard UI is
+needed on this headless pod.
+
+Usage:
+  python benchmarks/profile_op.py --workload e1_fused|e1_nhwc|e6_fused|e6_nhwc|step
+                                  [--views 16] [--top 30] [--iters 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_xspace(logdir: str, top: int):
+    """hlo_stats via the xprof converter: top HLO ops by self time."""
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        print(json.dumps({"error": "no xplane.pb captured"}))
+        return
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        [max(paths, key=os.path.getmtime)], "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    obj = json.loads(data)
+    # hlo_stats: gviz-style table {cols: [...], rows: [{c: [{v: ...}, ...]}]}
+    cols = [c.get("label") or c.get("id") for c in obj.get("cols", [])]
+    rows = []
+    for rr in obj.get("rows", []):
+        vals = [c.get("v") if isinstance(c, dict) else c for c in rr.get("c", [])]
+        rows.append(dict(zip(cols, vals)))
+    if not rows:
+        print(json.dumps(obj)[:2000])
+        return
+
+    def col(row, *names, default=0.0):
+        for n in names:
+            for key, val in row.items():
+                if key and n in key.lower():
+                    return val
+        return default
+
+    rows.sort(key=lambda r: -float(col(r, "total self time (us)", "self time")
+                                   or 0.0))
+    total = sum(float(col(r, "total self time (us)", "self time") or 0.0)
+                for r in rows)
+    print(f"== hlo_stats: {len(rows)} ops, total self time "
+          f"{total / 1e3:.2f} ms ==")
+    print(f"{'ms':>9} {'%':>5}  {'cat':<22} name")
+    for r in rows[:top]:
+        ms = float(col(r, "total self time (us)", "self time") or 0.0) / 1e3
+        cat = str(col(r, "category", default=""))[:22]
+        name = str(col(r, "hlo op name", "op name", "expression",
+                       default=""))[:110]
+        print(f"{ms:9.2f} {100 * ms * 1e3 / max(total, 1e-9):5.1f}  "
+              f"{cat:<22} {name}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="e1_fused")
+    ap.add_argument("--views", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--logdir", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("MAMMO_CLIP_JAX_CACHE", "/root/repo/.jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    r = np.random.default_rng(0)
+
+    def block_workload(expand, fused, c, h, w):
+        from mammo_clip_tpu.models.efficientnet import BlockArgs, MBConvBlock
+
+        N = args.views
+        a = BlockArgs(kernel=3, stride=1, expand_ratio=expand, in_filters=c,
+                      out_filters=c, se_ratio=0.25)
+        block = MBConvBlock(a, drop_rate=0.0, dtype=jnp.bfloat16, fused_nchw=fused)
+        if fused:
+            x = jnp.asarray(r.standard_normal((N, c, h, w)), jnp.bfloat16)
+        else:
+            x = jnp.asarray(r.standard_normal((N, h, w, c)), jnp.bfloat16)
+        w_out = jnp.asarray(r.standard_normal(x.shape) * 0.01, jnp.bfloat16)
+        variables = block.init({"params": jax.random.PRNGKey(0)}, x, True)
+
+        def loss(x, params):
+            out, _ = block.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, True, mutable=["batch_stats"])
+            return jnp.sum((out * w_out).astype(jnp.float32))
+
+        g = jax.jit(jax.value_and_grad(loss))
+        return lambda: g(x, variables["params"])[0]
+
+    if args.workload == "e1_fused":
+        fn = block_workload(1, True, 24, 456, 760)
+    elif args.workload == "e1_nhwc":
+        fn = block_workload(1, False, 24, 456, 760)
+    elif args.workload == "e6_fused":
+        fn = block_workload(6, True, 40, 228, 380)
+    elif args.workload == "e6_nhwc":
+        fn = block_workload(6, False, 40, 228, 380)
+    else:
+        raise SystemExit(f"unknown workload {args.workload}")
+
+    # compile + settle
+    l = float(fn())
+    print(f"warm loss {l:.4f}", file=sys.stderr)
+
+    logdir = args.logdir or tempfile.mkdtemp(prefix="xprof_")
+    import time
+    jax.profiler.start_trace(logdir)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        l = fn()
+    l = float(l)
+    wall = (time.perf_counter() - t0) * 1e3
+    jax.profiler.stop_trace()
+    print(f"wall for {args.iters} iters: {wall:.1f} ms", file=sys.stderr)
+    _parse_xspace(logdir, args.top)
+
+
+if __name__ == "__main__":
+    main()

@@ -253,40 +253,91 @@ class MBConvBlock(nn.Module):
         )
         return params, (m1, v1, m2, v2)
 
+    def _fused_params6(self):
+        from ..ops.mbconv6_pallas import MBConv6Params
+
+        a = self.args
+        c1 = a.in_filters
+        e = c1 * a.expand_ratio
+        sq = max(1, int(a.in_filters * a.se_ratio))
+        we, _ = _MirrorConv((1, 1, c1, e), name="expand_conv")()
+        g0, b0, m0, v0 = _MirrorBN(e, name="bn0")()
+        dw, _ = _MirrorConv((a.kernel, a.kernel, 1, e), name="depthwise_conv")()
+        g1, b1, m1, v1 = _MirrorBN(e, name="bn1")()
+        w1, sb1, w2, sb2 = _MirrorSE(e, sq, name="se")()
+        wp, _ = _MirrorConv((1, 1, e, a.out_filters), name="project_conv")()
+        g2, b2, m2, v2 = _MirrorBN(a.out_filters, name="bn2")()
+        params = MBConv6Params(
+            we=we[0, 0],
+            gamma0=g0, beta0=b0,
+            dw_kernel=jnp.transpose(dw[:, :, 0, :], (2, 0, 1)),  # (E,3,3)
+            gamma1=g1, beta1=b1,
+            se_w1=w1[0, 0], se_b1=sb1, se_w2=w2[0, 0], se_b2=sb2,
+            wp=wp[0, 0],
+            gamma2=g2, beta2=b2,
+        )
+        return params, ((m0, v0), (m1, v1), (m2, v2))
+
+    def _drop_delta(self, n: int) -> jnp.ndarray:
+        if self.drop_rate > 0.0 and not self.is_initializing():
+            keep = 1.0 - self.drop_rate
+            mask = jax.random.bernoulli(self.make_rng("stochastic"), p=keep, shape=(n,))
+            return mask.astype(jnp.float32) / keep
+        return jnp.ones((n,), jnp.float32)
+
+    @staticmethod
+    def _pad_h(h: int) -> int:
+        """Smallest padded height with a reasonable tile factor: prefer
+        24-divisible (bigger tiles pipeline better) when the extra rows stay
+        small, else 16, else the minimal multiple of 8."""
+        c24, c16, c8 = (-(-h // m) * m for m in (24, 16, 8))
+        if c24 - h <= 12:
+            return c24
+        if c16 - h <= 8:
+            return c16
+        return c8
+
     def _fused_call(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         """x: (N, C, H, W). Pallas path in train mode; Flax path (transposed) in eval."""
         from ..ops.mbconv_pallas import BN_EPS as _EPS
         from ..ops.mbconv_pallas import fused_mbconv_e1
+        from ..ops.mbconv6_pallas import fused_mbconv_e6
 
         a = self.args
         if not train:
             out = self._flax_call(jnp.transpose(x, (0, 2, 3, 1)), train)
             return jnp.transpose(out, (0, 3, 1, 2))
-        params, (m1, v1, m2, v2) = self._fused_params()
-        n = x.shape[0]
-        if self.drop_rate > 0.0 and not self.is_initializing():
-            keep = 1.0 - self.drop_rate
-            mask = jax.random.bernoulli(self.make_rng("stochastic"), p=keep, shape=(n,))
-            delta = mask.astype(jnp.float32) / keep
-        else:
-            delta = jnp.ones((n,), jnp.float32)
+        n, _, h, _ = x.shape
+        delta = self._drop_delta(n)
         interpret = jax.default_backend() == "cpu"
-        out, (mean1, var1, mean2, var2) = fused_mbconv_e1(
-            x, params, delta, _EPS, interpret
-        )
+        if a.expand_ratio == 1:
+            params, (m1, v1, m2, v2) = self._fused_params()
+            out, (mean1, var1, mean2, var2) = fused_mbconv_e1(
+                x, params, delta, _EPS, interpret
+            )
+            updates = [(m1, mean1), (v1, var1), (m2, mean2), (v2, var2)]
+        else:
+            params, ((m0, v0), (m1, v1), (m2, v2)) = self._fused_params6()
+            hpad = self._pad_h(h)
+            if hpad != h:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, hpad - h), (0, 0)))
+            out, stats = fused_mbconv_e6(x, params, delta, h, _EPS, interpret)
+            if hpad != h:
+                out = out[:, :, :h]
+            (mean0, var0, mean1, var1, mean2, var2) = stats
+            updates = [(m0, mean0), (v0, var0), (m1, mean1), (v1, var1),
+                       (m2, mean2), (v2, var2)]
         if not self.is_initializing():
             m = BN_MOMENTUM
-            m1.value = m * m1.value + (1 - m) * mean1
-            v1.value = m * v1.value + (1 - m) * var1
-            m2.value = m * m2.value + (1 - m) * mean2
-            v2.value = m * v2.value + (1 - m) * var2
+            for var, new in updates:
+                var.value = m * var.value + (1 - m) * new
         return out
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         a = self.args
         if self.fused_nchw:
-            assert a.expand_ratio == 1 and a.kernel == 3 and a.stride == 1
+            assert a.kernel == 3 and a.stride == 1
             return self._fused_call(x, train)
         return self._flax_call(x, train)
 
@@ -452,14 +503,15 @@ class EfficientNet(nn.Module):
             return t
 
         def fused_ok(a_):
-            # kernel supports e=1 / k=3 / stride-1 blocks whose H is 8-row tileable
-            return (
-                self.fused_mbconv
-                and a_.expand_ratio == 1
-                and a_.kernel == 3
-                and a_.stride == 1
-                and cur_h % 8 == 0
-            )
+            if not (self.fused_mbconv and a_.kernel == 3 and a_.stride == 1):
+                return False
+            if a_.expand_ratio == 1:
+                # e=1 kernel requires an 8-row-tileable height
+                return cur_h % 8 == 0
+            # expanding blocks (ops/mbconv6_pallas.py) pad+mask odd heights
+            # themselves; cap the expanded width so the deep stages (small
+            # maps, huge E, lane-dense in NHWC anyway) stay on the XLA path
+            return a_.in_filters * a_.expand_ratio <= 256
 
         for idx0, a in enumerate(args):
             idx = idx0 + block_offset  # original numbering (stable deep-block names)
