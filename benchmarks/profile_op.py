@@ -95,9 +95,24 @@ def main() -> None:
         N = args.views
         a = BlockArgs(kernel=3, stride=1, expand_ratio=expand, in_filters=c,
                       out_filters=c, se_ratio=0.25)
-        block = MBConvBlock(a, drop_rate=0.0, dtype=jnp.bfloat16, fused_nchw=fused)
+        valid_hw = ()
+        if fused and expand > 1:
+            from mammo_clip_tpu.ops.mbconv6_pallas import pick_h_pad, pick_w_pad
+
+            wp = pick_w_pad(w)
+            hp = pick_h_pad(h, c * expand, wp)
+            if (hp, wp) != (h, w):
+                valid_hw = (h, w)
+                h, w = hp, wp
+        block = MBConvBlock(a, drop_rate=0.0, dtype=jnp.bfloat16, fused_nchw=fused,
+                            fused_valid_hw=valid_hw)
         if fused:
             x = jnp.asarray(r.standard_normal((N, c, h, w)), jnp.bfloat16)
+            if valid_hw:  # zero-pad contract
+                vh, vw = valid_hw
+                mask = np.zeros((N, c, h, w), np.float32)
+                mask[:, :, :vh, :vw] = 1.0
+                x = x * jnp.asarray(mask, jnp.bfloat16)
         else:
             x = jnp.asarray(r.standard_normal((N, h, w, c)), jnp.bfloat16)
         w_out = jnp.asarray(r.standard_normal(x.shape) * 0.01, jnp.bfloat16)

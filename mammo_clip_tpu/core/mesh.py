@@ -15,6 +15,12 @@ Axes
            (util/dist_autograd.py:5-27).
 ``model``  tensor-parallel axis for the text-encoder FFN / attention heads and projection
            heads (a capability the reference lacks; kept size 1 by default).
+``replica`` cross-slice data-parallel axis for multi-pod / multi-slice training
+           (size 1 by default, i.e. absent from single-slice meshes). Laid out so it
+           spans the DCN between TPU slices while 'data' and 'model' stay inside a
+           slice on ICI: FSDP param gathers (over 'data') and TP collectives (over
+           'model') ride ICI every layer, and only the once-per-step gradient
+           all-reduce crosses the slower DCN — the standard multislice recipe.
 """
 
 from __future__ import annotations
@@ -35,17 +41,40 @@ def is_master() -> bool:
 def make_mesh(
     data: int = -1,
     model: int = 1,
+    replica: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a 2-D ('data', 'model') mesh. ``data=-1`` absorbs all remaining devices."""
+    """Create a ('data', 'model') mesh, or ('replica', 'data', 'model') when
+    ``replica > 1``. ``data=-1`` absorbs all remaining devices.
+
+    With ``replica > 1`` on real multislice hardware the replica axis is aligned
+    with slice boundaries (via ``mesh_utils.create_hybrid_device_mesh``) so it is
+    the only axis whose collectives cross the DCN; elsewhere (CPU mesh, single
+    slice) it degrades to a plain reshape with 'replica' slowest-varying, which
+    preserves the same sharding semantics."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+        assert n % (model * replica) == 0, (
+            f"{n} devices not divisible by model*replica={model * replica}")
+        data = n // (model * replica)
+    assert replica * data * model == n, (
+        f"mesh {replica}x{data}x{model} != {n} devices")
+    if replica == 1:
+        arr = np.asarray(devices).reshape(data, model)
+        return Mesh(arr, axis_names=("data", "model"))
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slice_ids) == replica:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, data, model),
+            dcn_mesh_shape=(replica, 1, 1),
+            devices=devices,
+        )
+    else:
+        arr = np.asarray(devices).reshape(replica, data, model)
+    return Mesh(arr, axis_names=("replica", "data", "model"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,8 +84,10 @@ class MeshContext:
     mesh: Mesh
 
     @classmethod
-    def create(cls, data: int = -1, model: int = 1, devices=None) -> "MeshContext":
-        return cls(mesh=make_mesh(data=data, model=model, devices=devices))
+    def create(cls, data: int = -1, model: int = 1, replica: int = 1,
+               devices=None) -> "MeshContext":
+        return cls(mesh=make_mesh(data=data, model=model, replica=replica,
+                                  devices=devices))
 
     @property
     def num_devices(self) -> int:
@@ -70,13 +101,18 @@ class MeshContext:
     def model_parallelism(self) -> int:
         return self.mesh.shape["model"]
 
+    @property
+    def replica_parallelism(self) -> int:
+        return dict(self.mesh.shape).get("replica", 1)
+
     def sharding(self, *spec) -> NamedSharding:
         return NamedSharding(self.mesh, P(*spec))
 
     @property
     def batch_sharding(self) -> NamedSharding:
-        """Leading-axis batch sharding over BOTH mesh axes (pure-DP when model=1)."""
-        return self.sharding(("data", "model"))
+        """Leading-axis batch sharding over EVERY mesh axis (pure-DP when model=1)."""
+        axes = tuple(self.mesh.axis_names)
+        return self.sharding(axes)
 
     @property
     def replicated(self) -> NamedSharding:

@@ -232,6 +232,9 @@ class MBConvBlock(nn.Module):
     packed_in_hw: Tuple[int, int] = ()  # (H, W) when the input arrives packed
     packed_out: bool = False  # emit (N, H, W*C) instead of NHWC
     fused_nchw: bool = False  # I/O in NCHW; train uses the Pallas megakernel
+    fused_valid_hw: Tuple[int, int] = ()  # (valid_h, valid_w) when the NCHW
+    #   input arrives zero-padded for the fused run (tile-height / 128-lane
+    #   alignment); the kernel masks the pad region and zeroes it on output
 
     def _fused_params(self):
         from ..ops.mbconv_pallas import MBConvParams
@@ -285,29 +288,25 @@ class MBConvBlock(nn.Module):
             return mask.astype(jnp.float32) / keep
         return jnp.ones((n,), jnp.float32)
 
-    @staticmethod
-    def _pad_h(h: int) -> int:
-        """Smallest padded height with a reasonable tile factor: prefer
-        24-divisible (bigger tiles pipeline better) when the extra rows stay
-        small, else 16, else the minimal multiple of 8."""
-        c24, c16, c8 = (-(-h // m) * m for m in (24, 16, 8))
-        if c24 - h <= 12:
-            return c24
-        if c16 - h <= 8:
-            return c16
-        return c8
 
     def _fused_call(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        """x: (N, C, H, W). Pallas path in train mode; Flax path (transposed) in eval."""
+        """x: (N, C, H, W), possibly zero-padded to (Hpad, Wpad) with
+        ``fused_valid_hw`` carrying the real dims. Pallas path in train mode;
+        Flax path (transposed, pads stripped/restored) in eval."""
         from ..ops.mbconv_pallas import BN_EPS as _EPS
         from ..ops.mbconv_pallas import fused_mbconv_e1
         from ..ops.mbconv6_pallas import fused_mbconv_e6
 
         a = self.args
+        n, _, hp, wp = x.shape
+        vh, vw = self.fused_valid_hw or (hp, wp)
         if not train:
-            out = self._flax_call(jnp.transpose(x, (0, 2, 3, 1)), train)
-            return jnp.transpose(out, (0, 3, 1, 2))
-        n, _, h, _ = x.shape
+            out = self._flax_call(jnp.transpose(x[:, :, :vh, :vw], (0, 2, 3, 1)),
+                                  train)
+            out = jnp.transpose(out, (0, 3, 1, 2))
+            if (vh, vw) != (hp, wp):  # keep the run's zero-pad contract
+                out = jnp.pad(out, ((0, 0), (0, 0), (0, hp - vh), (0, wp - vw)))
+            return out
         delta = self._drop_delta(n)
         interpret = jax.default_backend() == "cpu"
         if a.expand_ratio == 1:
@@ -318,12 +317,7 @@ class MBConvBlock(nn.Module):
             updates = [(m1, mean1), (v1, var1), (m2, mean2), (v2, var2)]
         else:
             params, ((m0, v0), (m1, v1), (m2, v2)) = self._fused_params6()
-            hpad = self._pad_h(h)
-            if hpad != h:
-                x = jnp.pad(x, ((0, 0), (0, 0), (0, hpad - h), (0, 0)))
-            out, stats = fused_mbconv_e6(x, params, delta, h, _EPS, interpret)
-            if hpad != h:
-                out = out[:, :, :h]
+            out, stats = fused_mbconv_e6(x, params, delta, vh, vw, _EPS, interpret)
             (mean0, var0, mean1, var1, mean2, var2) = stats
             updates = [(m0, mean0), (v0, var0), (m1, mean1), (v1, var1),
                        (m2, mean2), (v2, var2)]
@@ -494,24 +488,34 @@ class EfficientNet(nn.Module):
         x_packed = False
 
         x_nchw = False
+        pad_hw = None  # (hpad, wpad) while x carries the fused run's zero pads
 
         def unpacked(t):
             if x_packed:
                 return t.reshape(t.shape[0], cur_h, cur_w, cur_c)
             if x_nchw:
+                if pad_hw is not None:
+                    t = t[:, :, :cur_h, :cur_w]
                 return jnp.transpose(t, (0, 2, 3, 1))
             return t
+
+        # kernel row-merges are reshapes only at 128-multiple widths; the CPU
+        # interpreter has no such constraint (tests run the e1 path there)
+        lane_free = jax.default_backend() == "cpu"
 
         def fused_ok(a_):
             if not (self.fused_mbconv and a_.kernel == 3 and a_.stride == 1):
                 return False
             if a_.expand_ratio == 1:
-                # e=1 kernel requires an 8-row-tileable height
-                return cur_h % 8 == 0
-            # expanding blocks (ops/mbconv6_pallas.py) pad+mask odd heights
-            # themselves; cap the expanded width so the deep stages (small
-            # maps, huge E, lane-dense in NHWC anyway) stay on the XLA path
+                # e=1 kernel: 8-row-tileable height, lane-aligned width (it has
+                # no valid_h/valid_w masking of its own)
+                return cur_h % 8 == 0 and (lane_free or cur_w % 128 == 0)
+            # expanding blocks (ops/mbconv6_pallas.py) take pad+mask dims; cap
+            # the expanded width so the deep stages (small maps, huge E,
+            # lane-dense in NHWC anyway) stay on the XLA path
             return a_.in_filters * a_.expand_ratio <= 256
+
+        from ..ops.mbconv6_pallas import pick_h_pad, pick_w_pad
 
         for idx0, a in enumerate(args):
             idx = idx0 + block_offset  # original numbering (stable deep-block names)
@@ -522,8 +526,22 @@ class EfficientNet(nn.Module):
                 x = jnp.transpose(unpacked(x), (0, 3, 1, 2))
                 x_packed, x_nchw = False, True
             if not use_fused and x_nchw:
-                x = jnp.transpose(x, (0, 2, 3, 1))
-                x_nchw = False
+                x = unpacked(x)  # slices the run's pads off before NHWC
+                x_nchw, pad_hw = False, None
+            if use_fused and a.expand_ratio > 1:
+                # pad H/W once per run of fused blocks (each block re-zeroes
+                # its pad region, so consecutive blocks chain without repadding)
+                wp = pick_w_pad(cur_w) if not lane_free else cur_w
+                hp = pick_h_pad(cur_h, a.in_filters * a.expand_ratio, wp)
+                if (hp, wp) != (cur_h, cur_w):
+                    if pad_hw is None:
+                        x = jnp.pad(x, ((0, 0), (0, 0), (0, hp - cur_h),
+                                        (0, wp - cur_w)))
+                    pad_hw = (hp, wp)
+            elif use_fused and pad_hw is not None:
+                # e=1 fused block after a padded run: drop the pads
+                x = x[:, :, :cur_h, :cur_w]
+                pad_hw = None
             # fused blocks have a recompute-based custom VJP (saved residual = the
             # compact NCHW input) — remat around them would be redundant
             block_cls = remat_cls if (use_remat and not use_fused) else MBConvBlock
@@ -545,6 +563,7 @@ class EfficientNet(nn.Module):
                 packed_in_hw=(cur_h, cur_w) if x_packed else (),
                 packed_out=want_packed_out,
                 fused_nchw=x_nchw,
+                fused_valid_hw=(cur_h, cur_w) if pad_hw is not None else (),
                 name=f"block_{idx}",
             )(x, train)
             scale *= a.stride

@@ -38,17 +38,25 @@ Train-mode BatchNorm is exact, via phasing + two analytic tricks:
 
 Eight passes that each read only the compact x (+ the same-size cotangent in the
 backward) instead of ~12 expanded-tensor round trips: ~5-8x less HBM traffic.
-All recompute is MXU/VPU work on VMEM-resident tiles.
+All recompute is MXU/VPU work on VMEM-resident tiles; every channel contraction
+is ONE long-K MXU dot over row-merged tiles (per-row dots pay a ~1 us fixed
+issue cost each and dominated the device time of the first kernel revision).
 
-Non-8-divisible heights (stage 2's 228) are handled by zero-padding rows to a
-tile multiple and masking: ``valid_h`` is static, every reduction masks rows
->= valid_h, and the activation w is re-zeroed outside the valid image so the
-depthwise stencil sees exact SAME-padding semantics at the bottom edge.
+Alignment contract (why valid_h AND valid_w exist): row merges are plain
+reshapes only when the tile width is a multiple of the 128-lane tile, so the
+caller pads BOTH dimensions — H to a tile-height multiple, W to a multiple of
+128 — with zeros, once per run of fused blocks. ``valid_h``/``valid_w`` are
+static; every reduction masks the pad region, the activation w is re-zeroed
+outside the valid image (silu(bn0(0)) != 0) so the depthwise stencil sees exact
+SAME-padding semantics at the edges, and both outputs (out, dx) are written
+with ZERO pads so consecutive fused blocks chain without re-padding.
 
-Mosaic constraints (this pod, see CLAUDE.md + ops/mbconv_pallas.py): gather-free,
-per-row 2-D MXU dots, 8-row-aligned halo blocks, channel vectors pre-expanded to
-lanes host-side, scalars in SMEM. Verified against the unfused reference and the
-Flax MBConvBlock for outputs, batch stats, and every gradient
+Mosaic constraints (this pod, see CLAUDE.md + ops/mbconv_pallas.py +
+benchmarks/probe_mosaic.py): gather-free, reshape-merged dots (misaligned lane
+concats don't lower), integer-only iota, 8-row-aligned halo blocks, channel
+vectors pre-expanded to lanes host-side, scalars in SMEM, ~100 MB scoped-vmem
+stack (tile heights are budgeted against it). Verified against the unfused
+reference and the Flax MBConvBlock for outputs, batch stats, and every gradient
 (tests/test_mbconv6_pallas.py).
 """
 
@@ -108,42 +116,38 @@ class MBConv6Params(NamedTuple):
 
 
 def _bnv(t, mean_ref, inv_ref, gamma_ref, beta_ref):
-    """bn over a (CH, h, w) tile with (CH, 1, Wv) lane-expanded vector refs,
-    sliced to the tile's width (fwd tiles are W+2 wide, B3/B4 tiles W+4)."""
-    w = t.shape[-1]
-    return (t - mean_ref[:, :, :w]) * (inv_ref[:, :, :w] * gamma_ref[:, :, :w]) + \
-        beta_ref[:, :, :w]
+    """bn over a (CH, h, W) tile with (CH, 1, W) lane-expanded vector refs."""
+    return (t - mean_ref[:]) * (inv_ref[:] * gamma_ref[:]) + beta_ref[:]
 
 
 def _row_mask(shape2d, i, h_tile, valid_h, row_offset):
     """(rows, cols) fp32 mask: 1 where the GLOBAL row i*h_tile + r - row_offset
-    lies in [0, valid_h). Built as a 2-D sublane iota (Mosaic-safe) and broadcast
-    over the leading channel dim by the consuming op."""
-    r = jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)  # Mosaic: iota is int-only
+    lies in [0, valid_h). Built as a 2-D sublane iota (Mosaic: iota is int-only)
+    and broadcast over the leading channel dim by the consuming op."""
+    r = jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
     g = r + (i * h_tile - row_offset)
     return jnp.where((g >= 0) & (g < valid_h), 1.0, 0.0)
 
 
-def _col_mask(shape2d, lo, hi):
-    """(rows, cols) fp32 mask: 1 on columns [lo, hi) — zeroes the SAME-padding
-    columns of the lane-extended tiles."""
+def _col_mask(shape2d, valid_w):
+    """(rows, cols) fp32 mask: 1 on columns [0, valid_w)."""
     c = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
-    return jnp.where((c >= lo) & (c < hi), 1.0, 0.0)
+    return jnp.where(c < valid_w, 1.0, 0.0)
 
 
-def _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, width):
-    """Expanded+activated w on a (C, rows, width) x tile -> (E, rows, width),
-    masked so out-of-image rows/cols are exactly zero (SAME-pad semantics: the
-    padded x is zero there, but silu(bn0(0)) is not — mask restores the truth).
+def _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w):
+    """Expanded+activated w on a (C, rows, W) x tile -> (E, rows, W), masked so
+    out-of-image rows/cols are exactly zero (SAME-pad semantics: the padded x is
+    zero there, but silu(bn0(0)) is not — the mask restores the truth).
 
-    row_offset is the halo depth: fwd tiles carry 1 extra row each side, the
-    B3/B4 tiles 2. Inferred from rows - h_tile."""
-    rows = xp.shape[1]
+    The row offset is the halo depth: fwd tiles carry 1 extra row each side,
+    the B3/B4 tiles 2. Inferred from rows - h_tile."""
+    rows, width = xp.shape[1], xp.shape[2]
     halo = (rows - h_tile) // 2
-    z = _project(we, xp)  # (E, rows, width)
+    z = _project(we, xp)  # (E, rows, W) — one row-merged MXU dot
     w = _silu(_bnv(z, m0, inv0, g0, b0))
     mask = _row_mask((rows, width), i, h_tile, valid_h, halo) * \
-        _col_mask((rows, width), halo, width - halo)
+        _col_mask((rows, width), valid_w)
     return w * mask
 
 
@@ -153,7 +157,7 @@ def _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, width):
 
 
 def _p1_kernel(xm, sx_out, sxx_out):
-    """x first/second moments. Padded rows are zero by caller contract, so no
+    """x first/second moments. Pad rows/cols are zero by caller contract, so no
     masking is needed here."""
     x = xm[0].astype(jnp.float32)
 
@@ -166,14 +170,14 @@ def _p1_kernel(xm, sx_out, sxx_out):
     sxx_out[:, :] += _rowwise_ab(x, x)
 
 
-def _p2_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, k, we,
+def _p2_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
                m0, inv0, g0, b0, sums):
-    """accumulate (E, 1, 2): [sum d, sum d^2] over valid rows."""
+    """accumulate (E, 1, 2): [sum d, sum d^2] over the valid region."""
     i = pl.program_id(1)
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
-    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, W + 2)
+    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
     d = _depthwise(w, k, h_tile, W)
-    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0)
+    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
 
     @pl.when(_first_step())
     def _():
@@ -183,15 +187,15 @@ def _p2_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, k, we,
     sums[:, :, 1:2] += _csum(d * d * om)
 
 
-def _p3_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, k, we,
+def _p3_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, s_out):
-    """per-image SE squeeze: s = sum_{valid HW} v, (N, E)."""
+    """per-image SE squeeze: s = sum over the valid region of v, (N, E)."""
     i = pl.program_id(1)
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
-    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, W + 2)
+    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
     d = _depthwise(w, k, h_tile, W)
     v = _silu(_bnv(d, m1, inv1, g1, b1))
-    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0)
+    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
 
     @pl.when(i == 0)
     def _():
@@ -200,16 +204,16 @@ def _p3_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, k, we,
     s_out[0] += _csum(v * om)
 
 
-def _p4_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, k, we,
+def _p4_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, r_y):
-    """accumulate (C2, 1, 2): [sum y, sum y^2]; u is row-masked so y vanishes on
-    pad rows and the reduction needs no further masking."""
+    """accumulate (C2, 1, 2): [sum y, sum y^2]; u is masked so y vanishes on the
+    pad region and the reduction needs no further masking."""
     i = pl.program_id(1)
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
-    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, W + 2)
+    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
     d = _depthwise(w, k, h_tile, W)
     v = _silu(_bnv(d, m1, inv1, g1, b1))
-    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0)
+    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
     u = v * om * gate[0]
     y = _project(wp, u)  # (C2, hT, W)
 
@@ -221,13 +225,14 @@ def _p4_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, k, we,
     r_y[:, :, 1:2] += _csum(y * y)
 
 
-def _p5_kernel(n_tiles, h_tile, W, valid_h, residual, xm, xt, xb, k, we,
+def _p5_kernel(n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp,
                m2, inv2, g2, b2, delta, out):
-    """out = [x +] delta * bn2(project(v * g)) in the I/O dtype."""
+    """out = ([x +] delta * bn2(project(v * g))) * mask — ZERO pads out, so the
+    next fused block's zero-pad input contract holds without re-padding."""
     i = pl.program_id(1)
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
-    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, W + 2)
+    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
     d = _depthwise(w, k, h_tile, W)
     v = _silu(_bnv(d, m1, inv1, g1, b1))
     u = v * gate[0]
@@ -236,7 +241,8 @@ def _p5_kernel(n_tiles, h_tile, W, valid_h, residual, xm, xt, xb, k, we,
     res = delta[pl.program_id(0), 0] * yhat
     if residual:
         res = res + xm[0].astype(jnp.float32)
-    out[0] = res.astype(out.dtype)
+    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
+    out[0] = (res * om).astype(out.dtype)
 
 
 # --------------------------------------------------------------------------------
@@ -245,15 +251,15 @@ def _p5_kernel(n_tiles, h_tile, W, valid_h, residual, xm, xt, xb, k, we,
 
 
 def _recompute_to_v(xm, xt, xb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1,
-                    i, n_tiles, h_tile, W, valid_h):
+                    i, n_tiles, h_tile, W, valid_h, valid_w):
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
-    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, W + 2)
+    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
     d = _depthwise(w, k, h_tile, W)
     dhat = _bnv(d, m1, inv1, g1, b1)
     return w, d, dhat, _silu(dhat)
 
 
-def _b1_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, k, we,
+def _b1_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2,
                delta, r2_out, t1_out, t2_out):
     """bn2-backward terms + the per-image SE bilinear matrices.
@@ -261,12 +267,13 @@ def _b1_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, k, we,
     r2_out (C2, 1, 2): [sum dyh, sum dyh*ybar]; t1/t2 (1, E, C2)."""
     i = pl.program_id(1)
     _, _, _, v = _recompute_to_v(xm, xt, xb, k, we, m0, inv0, g0, b0,
-                                 m1, inv1, g1, b1, i, n_tiles, h_tile, W, valid_h)
-    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0)
+                                 m1, inv1, g1, b1, i, n_tiles, h_tile, W,
+                                 valid_h, valid_w)
+    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
     v = v * om
     u = v * gate[0]
     y = _project(wp, u)
-    ybar = (y - m2[:, :, :W]) * inv2[:, :, :W]
+    ybar = (y - m2[:]) * inv2[:]
     dyhat = gm[0].astype(jnp.float32) * delta[pl.program_id(0), 0]
 
     @pl.when(_first_step())
@@ -284,7 +291,7 @@ def _b1_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, k, we,
     t2_out[0] += _rowwise_ab(v, ybar)
 
 
-def _b2_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, k, we,
+def _b2_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
                alpha2, beta2r, ds_hw, delta, r1_out, dwp_out, taps_out):
     """bn1-backward terms, dWp, and the 9-tap dK correlation sums.
@@ -296,18 +303,17 @@ def _b2_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, k, we,
     i = pl.program_id(1)
     w, d, dhat, v = _recompute_to_v(xm, xt, xb, k, we, m0, inv0, g0, b0,
                                     m1, inv1, g1, b1, i, n_tiles, h_tile, W,
-                                    valid_h)
-    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0)
+                                    valid_h, valid_w)
+    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
     u = v * om * gate[0]
     y = _project(wp, u)
-    ybar = (y - m2[:, :, :W]) * inv2[:, :, :W]
+    ybar = (y - m2[:]) * inv2[:]
     dyhat = gm[0].astype(jnp.float32) * delta[pl.program_id(0), 0]
-    dy = (g2[:, :, :W] * inv2[:, :, :W]) * dyhat - alpha2[:, :, :W] - \
-        ybar * beta2r[:, :, :W]
+    dy = (g2[:] * inv2[:]) * dyhat - alpha2[:] - ybar * beta2r[:]
     du = _project(wp, dy, transpose=True)
     dv = (du * gate[0] + ds_hw[0]) * om
     db1h = dv * _dsilu(dhat)
-    dbar = (d - m1[:, :, :W]) * inv1[:, :, :W]
+    dbar = (d - m1[:]) * inv1[:]
 
     @pl.when(_first_step())
     def _():
@@ -318,43 +324,44 @@ def _b2_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, k, we,
     r1_out[:, :, 0:1] += _csum(db1h)
     r1_out[:, :, 1:2] += _csum(db1h * dbar)
     dwp_out[:, :] += _rowwise_ab(u, dy)
+    wpp = jnp.pad(w, ((0, 0), (0, 0), (1, 1)))  # column shifts for the taps
     for a in range(3):
         for b in range(3):
-            ws = w[:, a: a + h_tile, b: b + W] * om
+            ws = wpp[:, a: a + h_tile, b: b + W] * om
             j = (3 * a + b) * 3
             taps_out[:, :, j: j + 1] += _csum(ws)
             taps_out[:, :, j + 1: j + 2] += _csum(ws * dbar)
             taps_out[:, :, j + 2: j + 3] += _csum(ws * db1h)
 
 
-def _chain_to_dz0hat(n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, gt, gb, k, we,
-                     m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
-                     alpha2, beta2r, ds_hw, r1a, r1b, delta):
+def _chain_to_dz0hat(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt,
+                     gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp,
+                     m2, inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b, delta):
     """Shared B3/B4 recompute: x (2-row halos) -> dd on extended rows ->
-    dL/dw = corr(K~, dd) -> dz0hat on the main rows (masked to valid rows).
-    Returns (x_main_f32, zbar0, dz0hat), each (·, hT, W)."""
+    dL/dw = corr(K~, dd) -> dz0hat on the main rows (masked to the valid
+    region). Returns (x_main_f32, zbar0, dz0hat), each (·, hT, W)."""
     i = pl.program_id(1)
     xmv = xm[0].astype(jnp.float32)
     top_m = jnp.where(i > 0, 1.0, 0.0)
     bot_m = jnp.where(i < n_tiles - 1, 1.0, 0.0)
     rows_top = xt[0, :, 6:8, :].astype(jnp.float32) * top_m
     rows_bot = xb[0, :, 0:2, :].astype(jnp.float32) * bot_m
-    xfull = jnp.concatenate([rows_top, xmv, rows_bot], axis=1)
-    xp4 = jnp.pad(xfull, ((0, 0), (0, 0), (2, 2)))  # (C, hT+4, W+4)
+    xfull = jnp.concatenate([rows_top, xmv, rows_bot], axis=1)  # (C, hT+4, W)
 
-    # w on rows [-2, hT+2), masked to the valid image (rows and SAME-pad cols)
-    w4 = _w_tile(xp4, we, m0, inv0, g0, b0, i, h_tile, valid_h, W + 4)
-    # d on output rows [-1, hT+1)
+    # w on rows [-2, hT+2), masked to the valid image
+    w4 = _w_tile(xfull, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    # d on output rows [-1, hT+1); column shifts from an internal zero pad
     h_ext = h_tile + 2
+    w4p = jnp.pad(w4, ((0, 0), (0, 0), (1, 1)))
     d_ext = None
     for a in range(3):
         for b in range(3):
             tap = k[:, 3 * a + b: 3 * a + b + 1, :]
-            term = w4[:, a: a + h_ext, b + 1: b + 1 + W] * tap
+            term = w4p[:, a: a + h_ext, b: b + W] * tap
             d_ext = term if d_ext is None else d_ext + term
     dhat_ext = _bnv(d_ext, m1, inv1, g1, b1)
     v_ext = _silu(dhat_ext)
-    om_ext = _row_mask((h_ext, W), i, h_tile, valid_h, 1)
+    om_ext = _row_mask((h_ext, W), i, h_tile, valid_h, 1) * _col_mask((h_ext, W), valid_w)
     v_ext = v_ext * om_ext
 
     g_top = gt[0, :, 7:8, :].astype(jnp.float32) * top_m
@@ -363,16 +370,14 @@ def _chain_to_dz0hat(n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, gt, gb, k, we,
 
     u_ext = v_ext * gate[0]
     y_ext = _project(wp, u_ext)
-    ybar_ext = (y_ext - m2[:, :, :W]) * inv2[:, :, :W]
+    ybar_ext = (y_ext - m2[:]) * inv2[:]
     dyhat_ext = g_ext * delta[pl.program_id(0), 0]
-    dy_ext = (g2[:, :, :W] * inv2[:, :, :W]) * dyhat_ext - alpha2[:, :, :W] - \
-        ybar_ext * beta2r[:, :, :W]
+    dy_ext = (g2[:] * inv2[:]) * dyhat_ext - alpha2[:] - ybar_ext * beta2r[:]
     du_ext = _project(wp, dy_ext, transpose=True)
     dv_ext = (du_ext * gate[0] + ds_hw[0]) * om_ext
     db1h_ext = dv_ext * _dsilu(dhat_ext)
-    dbar_ext = (d_ext - m1[:, :, :W]) * inv1[:, :, :W]
-    dd_ext = (g1[:, :, :W] * inv1[:, :, :W]) * db1h_ext - r1a[:, :, :W] - \
-        dbar_ext * r1b[:, :, :W]
+    dbar_ext = (d_ext - m1[:]) * inv1[:]
+    dd_ext = (g1[:] * inv1[:]) * db1h_ext - r1a[:] - dbar_ext * r1b[:]
     dd_ext = dd_ext * om_ext  # bn affine terms are nonzero outside the image
     dd_pad = jnp.pad(dd_ext, ((0, 0), (0, 0), (1, 1)))  # (E, hT+2, W+2)
 
@@ -384,20 +389,20 @@ def _chain_to_dz0hat(n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, gt, gb, k, we,
             term = dd_pad[:, (2 - a): (2 - a) + h_tile, (2 - b): (2 - b) + W] * tap
             dwact = term if dwact is None else dwact + term
     # w was force-zeroed outside the valid image — its gradient stops there
-    im = _row_mask((h_tile, W), i, h_tile, valid_h, 0)
-    z_main = _project(we, xp4[:, 2: 2 + h_tile, 2: 2 + W])
-    zbar0 = (z_main - m0[:, :, :W]) * inv0[:, :, :W]
-    zhat0 = zbar0 * g0[:, :, :W] + b0[:, :, :W]
+    im = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
+    z_main = _project(we, xmv)
+    zbar0 = (z_main - m0[:]) * inv0[:]
+    zhat0 = zbar0 * g0[:] + b0[:]
     dz0hat = dwact * _dsilu(zhat0) * im
     return xmv, zbar0, dz0hat
 
 
-def _b3_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, gt, gb, k, we,
-               m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
+def _b3_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt, gb, k,
+               we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
                alpha2, beta2r, ds_hw, r1a, r1b, delta, rz_out, t3_out):
     """bn0-backward terms and T3 = sum(x (x) dz0hat) for the analytic dWe."""
     xmv, zbar0, dz0hat = _chain_to_dz0hat(
-        n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, gt, gb, k, we,
+        n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt, gb, k, we,
         m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
         alpha2, beta2r, ds_hw, r1a, r1b, delta)
 
@@ -411,21 +416,24 @@ def _b3_kernel(n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, gt, gb, k, we,
     t3_out[:, :] += _rowwise_ab(xmv, dz0hat)
 
 
-def _b4_kernel(n_tiles, h_tile, W, valid_h, residual, xm, xt, xb, gm, gt, gb,
-               k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2,
-               g2, alpha2, beta2r, ds_hw, r1a, r1b, alpha0, beta0r, delta,
-               dx_out):
-    """dx = [G +] We dz with dz the exact bn0 backward."""
+def _b4_kernel(n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb, gm,
+               gt, gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2,
+               inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b, alpha0, beta0r,
+               delta, dx_out):
+    """dx = ([G +] We dz) * mask with dz the exact bn0 backward; zero pads out
+    (the previous block's cotangent contract)."""
     _, zbar0, dz0hat = _chain_to_dz0hat(
-        n_tiles, h_tile, W, valid_h, xm, xt, xb, gm, gt, gb, k, we,
+        n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt, gb, k, we,
         m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
         alpha2, beta2r, ds_hw, r1a, r1b, delta)
-    dz = (g0[:, :, :W] * inv0[:, :, :W]) * dz0hat - alpha0[:, :, :W] - \
-        zbar0 * beta0r[:, :, :W]
+    dz = (g0[:] * inv0[:]) * dz0hat - alpha0[:] - zbar0 * beta0r[:]
     dx = _project(we, dz, transpose=True)  # (C, hT, W)
+    i = pl.program_id(1)
+    h_tile_ = dz.shape[1]
+    om = _row_mask((h_tile_, W), i, h_tile_, valid_h, 0) * _col_mask((h_tile_, W), valid_w)
     if residual:
         dx = dx + gm[0].astype(jnp.float32)
-    dx_out[0] = dx.astype(dx_out.dtype)
+    dx_out[0] = (dx * om).astype(dx_out.dtype)
 
 
 # --------------------------------------------------------------------------------
@@ -433,24 +441,52 @@ def _b4_kernel(n_tiles, h_tile, W, valid_h, residual, xm, xt, xb, gm, gt, gb,
 # --------------------------------------------------------------------------------
 
 
-def _pick_h_tile(H: int) -> int:
+VMEM_BUDGET = 85 * 2 ** 20  # scoped-vmem stack limit is 100M; leave headroom
+
+
+def _tile_fp32_bytes(e: int, t: int, w: int) -> int:
+    """Estimated peak VMEM of the heaviest (B3/B4) kernel at tile height t:
+    ~12 live fp32 extended-row (E, t+4, W+4) tiles (measured: 119M at
+    E=240/t=24/W=380, i.e. K~11.5)."""
+    return 12 * e * (t + 4) * (w + 4) * 4
+
+
+def _pick_h_tile(H: int, E: int, W: int) -> int:
     for t in (24, 16, 8):
-        if H % t == 0:
+        if H % t == 0 and _tile_fp32_bytes(E, t, W) <= VMEM_BUDGET:
             return t
-    raise ValueError(f"H={H} not divisible by a supported tile height (mult of 8)")
+    raise ValueError(
+        f"no tile height fits H={H}, E={E}, W={W} under the VMEM budget")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_mbconv_e6(x, params: MBConv6Params, delta, valid_h: int,
+def pick_h_pad(h: int, e: int, w: int) -> int:
+    """Padded height the integration should use: smallest multiple of the
+    largest budget-feasible tile (so the kernel's _pick_h_tile selects that
+    same tile). ``w`` is the PADDED width."""
+    for t in (24, 16, 8):
+        if _tile_fp32_bytes(e, t, w) <= VMEM_BUDGET:
+            return -(-h // t) * t
+    raise ValueError(f"expanded width E={e} too large for the fused kernel at W={w}")
+
+
+def pick_w_pad(w: int) -> int:
+    """Padded width: the 128-lane tile multiple (row merges become reshapes)."""
+    return -(-w // 128) * 128
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_mbconv_e6(x, params: MBConv6Params, delta, valid_h: int, valid_w: int,
                     eps: float = BN_EPS, interpret: bool = False):
-    """x: (N, C, Hpad, W) with rows >= valid_h zero-padded (Hpad % 8 == 0).
-    Returns (out (N, C2, Hpad, W), (mean0, var0, mean1, var1, mean2, var2));
-    rows >= valid_h of out are undefined filler — callers slice them off."""
-    out, stats, _ = _forward(x, params, delta, valid_h, eps, interpret)
+    """x: (N, C, Hpad, Wpad) with the pad region ZERO (rows >= valid_h, cols >=
+    valid_w); Hpad % 8 == 0. On TPU, Wpad must be a multiple of 128 (see
+    pick_w_pad); interpret mode accepts any width. Returns
+    (out (N, C2, Hpad, Wpad), (mean0, var0, mean1, var1, mean2, var2)) with the
+    pad region of out ZERO, so fused blocks chain without re-padding."""
+    out, stats, _ = _forward(x, params, delta, valid_h, valid_w, eps, interpret)
     return out, stats
 
 
-def _common_specs(p: MBConv6Params, N, C, E, C2, W, Wv):
+def _common_specs(p: MBConv6Params, N, C, E, C2, W):
     wespec = pl.BlockSpec((C, E), lambda n, i: (0, 0), memory_space=pltpu.VMEM)
     wpspec = pl.BlockSpec((E, C2), lambda n, i: (0, 0), memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((E, 9, W), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM)
@@ -461,22 +497,21 @@ def _common_specs(p: MBConv6Params, N, C, E, C2, W, Wv):
     return wespec, wpspec, kspec, k, gate_spec, dspec
 
 
-def _forward(x, p: MBConv6Params, delta, valid_h, eps, interpret):
+def _forward(x, p: MBConv6Params, delta, valid_h, valid_w, eps, interpret):
     N, C, H, W = x.shape
     E = p.we.shape[1]
     C2 = p.wp.shape[1]
     residual = C2 == C
-    assert 0 < valid_h <= H
-    h_tile = _pick_h_tile(H)
+    assert 0 < valid_h <= H and 0 < valid_w <= W
+    h_tile = _pick_h_tile(H, E, W)
     n_tiles, halo = _halo_specs(C, h_tile, W, H)
     grid = (N, n_tiles)
-    n = N * valid_h * W
-    Wv = W + 4
-    wespec, wpspec, kspec, k, gate_spec, dspec = _common_specs(p, N, C, E, C2, W, Wv)
+    n = N * valid_h * valid_w
+    wespec, wpspec, kspec, k, gate_spec, dspec = _common_specs(p, N, C, E, C2, W)
     we = p.we.astype(jnp.float32)
     wp = p.wp.astype(jnp.float32)
-    vecE = _vec_spec(E, Wv)
-    vecC2 = _vec_spec(C2, Wv)
+    vecE = _vec_spec(E, W)
+    vecC2 = _vec_spec(C2, W)
 
     # ---- P1: x moments -> bn0 stats analytically (z = x We)
     sx, sxx = _grid_call(
@@ -498,12 +533,12 @@ def _forward(x, p: MBConv6Params, delta, valid_h, eps, interpret):
     ey2 = jnp.einsum("ce,cd,de->e", we, sxx, we) / n
     var0 = jnp.maximum(ey2 - mean0 * mean0, 0.0)
     inv0 = jax.lax.rsqrt(var0 + eps)
-    m0v, inv0v, g0v, b0v = _channel_vecs(Wv, mean0, inv0, p.gamma0, p.beta0)
+    m0v, inv0v, g0v, b0v = _channel_vecs(W, mean0, inv0, p.gamma0, p.beta0)
     vecs0 = [m0v, inv0v, g0v, b0v]
 
     # ---- P2: bn1 stats
     sums = _grid_call(
-        functools.partial(_p2_kernel, n_tiles, h_tile, W, valid_h),
+        functools.partial(_p2_kernel, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 4,
         out_shape=jax.ShapeDtypeStruct((E, 1, 2), jnp.float32),
@@ -514,12 +549,12 @@ def _forward(x, p: MBConv6Params, delta, valid_h, eps, interpret):
     mean1 = sums[:, 0, 0] / n
     var1 = jnp.maximum(sums[:, 0, 1] / n - mean1 * mean1, 0.0)
     inv1 = jax.lax.rsqrt(var1 + eps)
-    m1v, inv1v, g1v, b1v = _channel_vecs(Wv, mean1, inv1, p.gamma1, p.beta1)
+    m1v, inv1v, g1v, b1v = _channel_vecs(W, mean1, inv1, p.gamma1, p.beta1)
     vecs1 = [m1v, inv1v, g1v, b1v]
 
     # ---- P3: SE squeeze
     s_sum = _grid_call(
-        functools.partial(_p3_kernel, n_tiles, h_tile, W, valid_h),
+        functools.partial(_p3_kernel, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 8,
         out_shape=jax.ShapeDtypeStruct((N, E, 1, 1), jnp.float32),
@@ -528,7 +563,7 @@ def _forward(x, p: MBConv6Params, delta, valid_h, eps, interpret):
         interpret=interpret,
     )(x, x, x, k, we, *vecs0, *vecs1)
     s_sum = s_sum[:, :, 0, 0]
-    hw = valid_h * W
+    hw = valid_h * valid_w
     s_mean = s_sum / hw
     gate, _ = _se_gate(s_mean, p)  # (N, E)
     gate_rows = jnp.broadcast_to(
@@ -537,7 +572,7 @@ def _forward(x, p: MBConv6Params, delta, valid_h, eps, interpret):
 
     # ---- P4: bn2 stats (direct reduction — y is only C2 channels wide)
     r_y = _grid_call(
-        functools.partial(_p4_kernel, n_tiles, h_tile, W, valid_h),
+        functools.partial(_p4_kernel, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 8 + [gate_spec, wpspec],
         out_shape=jax.ShapeDtypeStruct((C2, 1, 2), jnp.float32),
@@ -548,11 +583,12 @@ def _forward(x, p: MBConv6Params, delta, valid_h, eps, interpret):
     mean2 = r_y[:, 0, 0] / n
     var2 = jnp.maximum(r_y[:, 0, 1] / n - mean2 * mean2, 0.0)
     inv2 = jax.lax.rsqrt(var2 + eps)
-    m2v, inv2v, g2v, b2v = _channel_vecs(Wv, mean2, inv2, p.gamma2, p.beta2)
+    m2v, inv2v, g2v, b2v = _channel_vecs(W, mean2, inv2, p.gamma2, p.beta2)
 
     # ---- P5: apply + write
     out = _grid_call(
-        functools.partial(_p5_kernel, n_tiles, h_tile, W, valid_h, residual),
+        functools.partial(_p5_kernel, n_tiles, h_tile, W, valid_h, valid_w,
+                          residual),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 8 +
         [gate_spec, wpspec] + [vecC2] * 4 + [dspec],
@@ -568,12 +604,12 @@ def _forward(x, p: MBConv6Params, delta, valid_h, eps, interpret):
     return out, (mean0, var0, mean1, var1, mean2, var2), saved
 
 
-def _fwd(x, params, delta, valid_h, eps, interpret):
-    out, stats, saved = _forward(x, params, delta, valid_h, eps, interpret)
+def _fwd(x, params, delta, valid_h, valid_w, eps, interpret):
+    out, stats, saved = _forward(x, params, delta, valid_h, valid_w, eps, interpret)
     return (out, stats), (saved, params)
 
 
-def _bwd(valid_h, eps, interpret, res, cot):
+def _bwd(valid_h, valid_w, eps, interpret, res, cot):
     (x, delta, sx_v, sxx, mean0, var0, mean1, var1, mean2, var2,
      s_mean, gate), p = res
     g_out, _ = cot  # stats cotangent ignored (they feed running averages)
@@ -581,25 +617,24 @@ def _bwd(valid_h, eps, interpret, res, cot):
     E = p.we.shape[1]
     C2 = p.wp.shape[1]
     residual = C2 == C
-    h_tile = _pick_h_tile(H)
+    h_tile = _pick_h_tile(H, E, W)
     n_tiles, halo = _halo_specs(C, h_tile, W, H)
     grid = (N, n_tiles)
-    n = N * valid_h * W
-    hw = valid_h * W
-    Wv = W + 4
-    wespec, wpspec, kspec, k, gate_spec, dspec = _common_specs(p, N, C, E, C2, W, Wv)
+    n = N * valid_h * valid_w
+    hw = valid_h * valid_w
+    wespec, wpspec, kspec, k, gate_spec, dspec = _common_specs(p, N, C, E, C2, W)
     we = p.we.astype(jnp.float32)
     wp = p.wp.astype(jnp.float32)
     inv0 = jax.lax.rsqrt(var0 + eps)
     inv1 = jax.lax.rsqrt(var1 + eps)
     inv2 = jax.lax.rsqrt(var2 + eps)
-    vecE = _vec_spec(E, Wv)
-    vecC2 = _vec_spec(C2, Wv)
-    m0v, inv0v, g0v, b0v = _channel_vecs(Wv, mean0, inv0, p.gamma0, p.beta0)
+    vecE = _vec_spec(E, W)
+    vecC2 = _vec_spec(C2, W)
+    m0v, inv0v, g0v, b0v = _channel_vecs(W, mean0, inv0, p.gamma0, p.beta0)
     vecs0 = [m0v, inv0v, g0v, b0v]
-    m1v, inv1v, g1v, b1v = _channel_vecs(Wv, mean1, inv1, p.gamma1, p.beta1)
+    m1v, inv1v, g1v, b1v = _channel_vecs(W, mean1, inv1, p.gamma1, p.beta1)
     vecs1 = [m1v, inv1v, g1v, b1v]
-    m2v, inv2v, g2v, _ = _channel_vecs(Wv, mean2, inv2, p.gamma2, p.beta2)
+    m2v, inv2v, g2v, _ = _channel_vecs(W, mean2, inv2, p.gamma2, p.beta2)
     gate_rows = jnp.broadcast_to(
         gate.reshape(N, E, 1, 1).astype(jnp.float32), (N, E, 1, W))
     delta_rows = delta.reshape(N, 1).astype(jnp.float32)
@@ -608,7 +643,7 @@ def _bwd(valid_h, eps, interpret, res, cot):
 
     # ---- B1: bn2 backward terms + SE bilinear matrices
     r2, t1, t2 = _grid_call(
-        functools.partial(_b1_kernel, n_tiles, h_tile, W, valid_h),
+        functools.partial(_b1_kernel, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=halo + [gspec_main, kspec, wespec] + [vecE] * 8 +
         [gate_spec, wpspec, vecC2, vecC2, dspec],
@@ -652,11 +687,11 @@ def _bwd(valid_h, eps, interpret, res, cot):
     ds = dz1 @ p.se_w1.T  # (N, E): dL/ds_mean
     ds_hw = jnp.broadcast_to(
         (ds / hw).reshape(N, E, 1, 1).astype(jnp.float32), (N, E, 1, W))
-    alpha2v, beta2v = _channel_vecs(Wv, alpha2, beta2r)
+    alpha2v, beta2v = _channel_vecs(W, alpha2, beta2r)
 
     # ---- B2: bn1 backward terms + dWp + dK taps
     r1, dwp, taps = _grid_call(
-        functools.partial(_b2_kernel, n_tiles, h_tile, W, valid_h),
+        functools.partial(_b2_kernel, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=halo + [gspec_main, kspec, wespec] + [vecE] * 8 +
         [gate_spec, wpspec, vecC2, vecC2, vecC2, vecC2, vecC2, gate_spec, dspec],
@@ -687,7 +722,7 @@ def _bwd(valid_h, eps, interpret, res, cot):
         - r1b[:, None] * t[:, :, 1]
     )
     ddw = dk.reshape(E, 3, 3)
-    r1av, r1bv = _channel_vecs(Wv, r1a, r1b)
+    r1av, r1bv = _channel_vecs(W, r1a, r1b)
 
     # B3/B4 halo specs: 2 x-rows and 1 G-row served by 8-row neighbor blocks
     r8 = h_tile // 8
@@ -705,7 +740,7 @@ def _bwd(valid_h, eps, interpret, res, cot):
 
     # ---- B3: bn0 backward terms + T3
     rz, t3 = _grid_call(
-        functools.partial(_b3_kernel, n_tiles, h_tile, W, valid_h),
+        functools.partial(_b3_kernel, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=[xm, xt2, xb2, gspec_main, gt, gb, kspec, wespec] +
         [vecE] * 8 + [gate_spec, wpspec, vecC2, vecC2, vecC2, vecC2, vecC2,
@@ -737,11 +772,12 @@ def _bwd(valid_h, eps, interpret, res, cot):
         - sx_v[:, None] * alpha0[None, :]
         - sxz * (inv0 * beta0r)[None, :]
     )
-    alpha0v, beta0rv = _channel_vecs(Wv, alpha0, beta0r)
+    alpha0v, beta0rv = _channel_vecs(W, alpha0, beta0r)
 
     # ---- B4: dx
     dx = _grid_call(
-        functools.partial(_b4_kernel, n_tiles, h_tile, W, valid_h, residual),
+        functools.partial(_b4_kernel, n_tiles, h_tile, W, valid_h, valid_w,
+                          residual),
         grid=grid,
         in_specs=[xm, xt2, xb2, gspec_main, gt, gb, kspec, wespec] +
         [vecE] * 8 + [gate_spec, wpspec, vecC2, vecC2, vecC2, vecC2, vecC2,

@@ -94,7 +94,8 @@ def _dsilu(x):
 
 
 def _tile_with_halo(xm_ref, xt_ref, xb_ref, i, n_tiles):
-    """Assemble the (C, hT+2, W+2) fp32 tile with SAME zero padding.
+    """Assemble the (C, hT+2, W) fp32 tile (1-row halos, NO column extension —
+    width stays a lane-tile multiple so row merges are pure reshapes).
 
     xm: (1, C, hT, W) main rows; xt/xb: (1, C, 8, W) NEIGHBOR blocks (Mosaic
     requires 8-row-aligned blocks) — the adjacent halo row is sliced out here and
@@ -102,22 +103,24 @@ def _tile_with_halo(xm_ref, xt_ref, xb_ref, i, n_tiles):
     xm = xm_ref[0].astype(jnp.float32)
     top = xt_ref[0, :, 7:8, :].astype(jnp.float32) * jnp.where(i > 0, 1.0, 0.0)
     bot = xb_ref[0, :, 0:1, :].astype(jnp.float32) * jnp.where(i < n_tiles - 1, 1.0, 0.0)
-    x = jnp.concatenate([top, xm, bot], axis=1)  # (C, hT+2, W)
-    return jnp.pad(x, ((0, 0), (0, 0), (1, 1)))  # (C, hT+2, W+2)
+    return jnp.concatenate([top, xm, bot], axis=1)  # (C, hT+2, W)
 
 
 def _depthwise(xp, k_ref, h_tile, width):
-    """d[c, r, w] = sum_ab K[c, a, b] * xp[c, r+a, w+b]; xp: (C, hT+2, W+2) fp32.
+    """d[c, r, w] = SAME-padded 3x3 depthwise of the row-extended tile xp
+    (C, hT+2, W); column shifts come from an internal zero pad (the zero matches
+    SAME semantics — callers keep out-of-image columns exactly zero).
 
     k_ref is the host-pre-expanded (C, 9, W) tap bank: Mosaic cannot broadcast
     sublanes and lanes in one op (and re-folds any in-kernel two-step broadcast),
     so every per-channel constant arrives lane-expanded and only the supported
     sublane broadcast happens in the consuming elementwise op."""
+    xpp = jnp.pad(xp, ((0, 0), (0, 0), (1, 1)))  # (C, hT+2, W+2)
     d = None
     for a in range(3):
         for b in range(3):
             tap = k_ref[:, 3 * a + b : 3 * a + b + 1, :]  # (C,1,W) fp32
-            term = xp[:, a : a + h_tile, b : b + width] * tap
+            term = xpp[:, a : a + h_tile, b : b + width] * tap
             d = term if d is None else d + term
     return d  # (C, hT, W) fp32
 
@@ -127,35 +130,40 @@ def _bn_apply(t, mean_ref, inv_ref, gamma_ref, beta_ref):
     return (t - mean_ref[:]) * (inv_ref[:] * gamma_ref[:]) + beta_ref[:]
 
 
+def _flatten_rows(t):
+    """(CH, h, w) -> (CH, h*w): merge the two minor dims with a plain reshape.
+
+    Mosaic lowers this shape-cast cleanly when w is a multiple of the 128 lane
+    tile (verified by benchmarks/probe_mosaic.py on this toolchain) — production
+    callers pad widths to 128 multiples. Per-row MXU dots are NOT an option:
+    each small dot pays a fixed ~1 us issue latency and the row loops dominated
+    the kernel's measured device time; misaligned lane concats don't lower."""
+    return t.reshape(t.shape[0], t.shape[1] * t.shape[2])
+
+
 def _rowwise_ab(a, b):
-    """sum_hw a[:, h, w] outer b[:, h, w] -> (Ca, Cb) fp32 via per-row MXU dots
-    (tpu.matmul only supports a single contracting dim per operand)."""
-    acc = None
-    for r in range(a.shape[1]):
-        t = jax.lax.dot_general(
-            a[:, r, :], b[:, r, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = t if acc is None else acc + t
-    return acc
+    """sum_hw a[:, h, w] outer b[:, h, w] -> (Ca, Cb) fp32 as ONE MXU dot over
+    the row-merged operands (tpu.matmul supports a single contracting dim per
+    operand, so the (h, w) axes are merged by reshape first)."""
+    return jax.lax.dot_general(
+        _flatten_rows(a), _flatten_rows(b),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _project(wp_ref, t, transpose=False):
     """y[c2, h, w] = sum_c1 wp[c1, c2] t[c1, h, w] (transpose contracts c2).
 
-    Per-row 2-D MXU dots: Mosaic rejects the rank-3 dot (the internal (hT, W)
-    shape-cast merge is unsupported); plain (M, K) x (K, N) dots lower fine."""
+    One (M, K) x (K, h*w) MXU dot over the row-merged tile, reshaped back."""
     lhs_c = 1 if transpose else 0
-    rows = [
-        jax.lax.dot_general(
-            wp_ref[:], t[:, r, :],
-            dimension_numbers=(((lhs_c,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for r in range(t.shape[1])
-    ]
-    return jnp.stack(rows, axis=1)
+    h, wdt = t.shape[1], t.shape[2]
+    y_cat = jax.lax.dot_general(
+        wp_ref[:], _flatten_rows(t),
+        dimension_numbers=(((lhs_c,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y_cat.reshape(y_cat.shape[0], h, wdt)
 
 
 def _csum(t):
@@ -322,9 +330,10 @@ def _b2_kernel(n_tiles, h_tile, W, xm, xt, xb, gm, k, m1, inv1, g1, b1, gate, wp
     r1_out[:, :, 0:1] += _csum(ddhat)
     r1_out[:, :, 1:2] += _csum(ddhat * dbar)
     dwp_out[:, :] += _rowwise_ab(u, dy)
+    xpp = jnp.pad(xp, ((0, 0), (0, 0), (1, 1)))  # column shifts for the taps
     for a in range(3):
         for b in range(3):
-            xs = xp[:, a : a + h_tile, b : b + W]
+            xs = xpp[:, a : a + h_tile, b : b + W]
             j = (3 * a + b) * 3
             taps_out[:, :, j : j + 1] += _csum(xs)
             taps_out[:, :, j + 1 : j + 2] += _csum(xs * dbar)
@@ -348,8 +357,8 @@ def _b3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, gm, gt, gb, k, m1, inv1
     bot_m = jnp.where(i < n_tiles - 1, 1.0, 0.0)
     rows_top = xt[0, :, 6:8, :].astype(jnp.float32) * top_m
     rows_bot = xb[0, :, 0:2, :].astype(jnp.float32) * bot_m
-    xfull = jnp.concatenate([rows_top, xmv, rows_bot], axis=1)
-    xp4 = jnp.pad(xfull, ((0, 0), (0, 0), (2, 2)))  # (C, hT+4, W+4)
+    xfull = jnp.concatenate([rows_top, xmv, rows_bot], axis=1)  # (C, hT+4, W)
+    xf = jnp.pad(xfull, ((0, 0), (0, 0), (1, 1)))  # column shifts only
 
     # dd on rows [-1, hT+1): recompute d on those rows (needs x rows [-2, hT+2))
     h_ext = h_tile + 2
@@ -357,7 +366,7 @@ def _b3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, gm, gt, gb, k, m1, inv1
     for a in range(3):
         for b in range(3):
             tap = k[:, 3 * a + b : 3 * a + b + 1, :]
-            term = xp4[:, a : a + h_ext, b + 1 : b + 1 + W] * tap
+            term = xf[:, a : a + h_ext, b : b + W] * tap
             d_ext = term if d_ext is None else d_ext + term
     dhat_ext = _bn_apply(d_ext, m1, inv1, g1, b1)
     v_ext = _silu(dhat_ext)

@@ -19,7 +19,7 @@ from mammo_clip_tpu.ops.mbconv6_pallas import (
 N, C, H, W = 2, 8, 44, 12  # H=44 is NOT 8-divisible: exercises pad+mask (Hpad=48)
 E = 4 * C  # expand ratio 4 (same code path as the production e=6)
 SQ = max(1, C // 4)  # SE squeeze from the block's INPUT filters
-HPAD = 48
+HPAD, WPAD = 48, 16  # W padded too (production pads W to 128-lane multiples)
 
 
 def _params(seed=0, c2=C):
@@ -48,7 +48,7 @@ def _inputs(seed=1):
 
 
 def _pad(x):
-    return jnp.pad(x, ((0, 0), (0, 0), (0, HPAD - H), (0, 0)))
+    return jnp.pad(x, ((0, 0), (0, 0), (0, HPAD - H), (0, WPAD - W)))
 
 
 def test_reference_matches_flax_block():
@@ -90,10 +90,13 @@ def test_fused_forward_matches_reference():
     x, delta = _inputs()
     p = _params()
     out_ref, stats_ref = mbconv_e6_reference(x, p, delta)
-    out, stats = fused_mbconv_e6(_pad(x), p, delta, H, 1e-3, True)
-    assert out.shape == (N, C, HPAD, W)
-    np.testing.assert_allclose(np.asarray(out[:, :, :H]), np.asarray(out_ref),
+    out, stats = fused_mbconv_e6(_pad(x), p, delta, H, W, 1e-3, True)
+    assert out.shape == (N, C, HPAD, WPAD)
+    np.testing.assert_allclose(np.asarray(out[:, :, :H, :W]), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
+    # zero-pads-out contract (lets fused blocks chain without re-padding)
+    assert float(jnp.abs(out[:, :, H:]).max()) == 0.0
+    assert float(jnp.abs(out[:, :, :, W:]).max()) == 0.0
     for a, b in zip(stats, stats_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
 
@@ -105,7 +108,7 @@ def test_fused_forward_aligned_no_padding():
     delta = jnp.ones((N,), jnp.float32)
     p = _params(2)
     out_ref, stats_ref = mbconv_e6_reference(x, p, delta)
-    out, stats = fused_mbconv_e6(x, p, delta, 48, 1e-3, True)
+    out, stats = fused_mbconv_e6(x, p, delta, 48, W, 1e-3, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=2e-5, atol=2e-5)
     for a, b in zip(stats, stats_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
@@ -118,8 +121,8 @@ def test_fused_gradients_match_reference():
     w_out = jnp.asarray(r.standard_normal((N, C, H, W)), jnp.float32)
 
     def loss_fused(x, p):
-        out, _ = fused_mbconv_e6(_pad(x), p, delta, H, 1e-3, True)
-        return jnp.sum(out[:, :, :H] * w_out)
+        out, _ = fused_mbconv_e6(_pad(x), p, delta, H, W, 1e-3, True)
+        return jnp.sum(out[:, :, :H, :W] * w_out)
 
     def loss_ref(x, p):
         out, _ = mbconv_e6_reference(x, p, delta)
@@ -127,7 +130,7 @@ def test_fused_gradients_match_reference():
 
     (lf, gf) = jax.value_and_grad(loss_fused, argnums=(0, 1))(x, p)
     (lr, gr) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, p)
-    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=3e-5)
     np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
                                rtol=1e-4, atol=1e-4)
     for name in MBConv6Params._fields:
@@ -144,14 +147,14 @@ def test_fused_projecting_block_cin_ne_cout():
     w_out = jnp.asarray(r.standard_normal((N, c2, H, W)), jnp.float32)
 
     out_ref, _ = mbconv_e6_reference(x, p, delta)
-    out, _ = fused_mbconv_e6(_pad(x), p, delta, H, 1e-3, True)
-    assert out.shape == (N, c2, HPAD, W)
-    np.testing.assert_allclose(np.asarray(out[:, :, :H]), np.asarray(out_ref),
+    out, _ = fused_mbconv_e6(_pad(x), p, delta, H, W, 1e-3, True)
+    assert out.shape == (N, c2, HPAD, WPAD)
+    np.testing.assert_allclose(np.asarray(out[:, :, :H, :W]), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
 
     def loss_fused(x, p):
-        o, _ = fused_mbconv_e6(_pad(x), p, delta, H, 1e-3, True)
-        return jnp.sum(o[:, :, :H] * w_out)
+        o, _ = fused_mbconv_e6(_pad(x), p, delta, H, W, 1e-3, True)
+        return jnp.sum(o[:, :, :H, :W] * w_out)
 
     def loss_ref(x, p):
         o, _ = mbconv_e6_reference(x, p, delta)
@@ -206,7 +209,7 @@ def test_fused_bf16_io():
     x, delta = _inputs()
     p = _params()
     out_ref, _ = mbconv_e6_reference(x, p, delta)
-    out, _ = fused_mbconv_e6(_pad(x).astype(jnp.bfloat16), p, delta, H, 1e-3, True)
+    out, _ = fused_mbconv_e6(_pad(x).astype(jnp.bfloat16), p, delta, H, W, 1e-3, True)
     assert out.dtype == jnp.bfloat16
-    np.testing.assert_allclose(np.asarray(out[:, :, :H], np.float32),
+    np.testing.assert_allclose(np.asarray(out[:, :, :H, :W], np.float32),
                                np.asarray(out_ref), rtol=0.1, atol=0.2)

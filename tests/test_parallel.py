@@ -188,3 +188,61 @@ def test_fsdp_sharding_matches_replicated_loss():
     _, l_fsdp = step(s_fsdp, batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(l_rep["total"]), float(l_fsdp["total"]),
                                rtol=2e-5)
+
+
+def test_replica_axis_matches_flat_data_mesh():
+    """A ('replica','data','model') = 2x2x2 mesh (cross-slice DP over 'replica',
+    FSDP over the intra-slice 'data' axis) computes the same step as the flat
+    8-way mesh, and the batch is sharded over all 8 devices."""
+    import jax
+    import numpy as np
+
+    from mammo_clip_tpu.core.config import tiny_test_config
+    from mammo_clip_tpu.core.mesh import MeshContext
+    from mammo_clip_tpu.losses import build_loss
+    from mammo_clip_tpu.models import build_model
+    from mammo_clip_tpu.parallel.partitioning import shard_train_state
+    from mammo_clip_tpu.train import (
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+        warmup_cosine_sq_schedule,
+    )
+
+    ctx3 = MeshContext.create(data=2, model=2, replica=2)
+    assert ctx3.replica_parallelism == 2 and ctx3.data_parallelism == 2
+    ctx2 = MeshContext.create(data=4, model=2)
+    cfg = tiny_test_config()
+    model = build_model(cfg.model.to_dict())
+    loss_fn = build_loss(cfg.loss.to_dict())
+    tx = build_optimizer(cfg.optimizer.to_dict(),
+                         warmup_cosine_sq_schedule(cfg.optimizer.lr, 100, 10))
+    rng = np.random.default_rng(0)
+    h, w, s = cfg.data.image_size_h, cfg.data.image_size_w, cfg.data.text_max_length
+    v = cfg.model.text_encoder.vocab_size
+    ids = rng.integers(1, v, size=(8, s), dtype=np.int32)
+    host = {
+        "images": rng.standard_normal((8, h, w, 1)).astype(np.float32),
+        "image_views": rng.standard_normal((8, h, w, 1)).astype(np.float32),
+        "input_ids": ids, "attention_mask": np.ones((8, s), np.int32),
+        "input_ids2": ids, "attention_mask2": np.ones((8, s), np.int32),
+    }
+    step = make_train_step(model, loss_fn, donate=False)
+
+    b3 = ctx3.shard_host_batch(host)
+    assert len(b3["images"].sharding.device_set) == 8
+    base = create_train_state(model, b3, tx, jax.random.PRNGKey(0))
+    s3 = shard_train_state(base, ctx3.mesh, fsdp=True)
+    n3, l3 = step(s3, b3, jax.random.PRNGKey(1))
+
+    b2 = ctx2.shard_host_batch(host)
+    s2 = shard_train_state(base, ctx2.mesh)
+    n2, l2 = step(s2, b2, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(l3["total"]), float(l2["total"]), rtol=2e-5)
+    # updated params agree across the two mesh topologies
+    f3 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(n3.params)])
+    f2 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(n2.params)])
+    np.testing.assert_allclose(f3, f2, rtol=5e-4, atol=1e-5)
