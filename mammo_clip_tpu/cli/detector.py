@@ -67,6 +67,9 @@ def main(argv=None) -> None:
     ap.add_argument("--focal-gamma", type=float, default=2.0)
     ap.add_argument("--score-threshold", type=float, default=0.2)
     ap.add_argument("--freeze-backbone", action="store_true")
+    ap.add_argument("--eval-scales", type=lambda v: [float(x) for x in v.split(",")],
+                    default=None, help="multi-scale eval, e.g. 0.75,1.0,1.25: run "
+                    "the detector at each scale and merge candidates in ONE NMS")
     ap.add_argument("--soft-nms", action="store_true",
                     help="gaussian soft-NMS at eval (score decay instead of kill)")
     ap.add_argument("--workdir", default="outputs/detector")
@@ -123,7 +126,7 @@ def main(argv=None) -> None:
     tx = build_optimizer({"name": "adam", "lr": args.lr, "grad_clip_norm": 0.1}, lambda s: args.lr)
     state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=tx.init(params), tx=tx)
-    train_step, infer_step = make_detector_steps(
+    train_step, infer_step, infer_multiscale = make_detector_steps(
         model, anchors, preprocess, alpha=args.focal_alpha, gamma=args.focal_gamma
     )
 
@@ -150,9 +153,13 @@ def main(argv=None) -> None:
             )
         dets, anns = [], []
         for batch in batches(valid_tab, args.batch_size, False):
-            out = infer_step(state, {k: v for k, v in batch.items() if k != "ids"})
-            d = detect(out, jnp.asarray(anchors), (H, W), score_threshold=0.05,
-                       nms="soft" if args.soft_nms else "hard")
+            data = {k: v for k, v in batch.items() if k != "ids"}
+            if args.eval_scales:
+                d = infer_multiscale(state, data, scales=tuple(args.eval_scales))
+            else:
+                out = infer_step(state, data)
+                d = detect(out, jnp.asarray(anchors), (H, W), score_threshold=0.05,
+                           nms="soft" if args.soft_nms else "hard")
             for i in range(len(batch["ids"])):
                 dets.append({k: np.asarray(v[i]) for k, v in d.items()})
                 anns.append(np.asarray(batch["annotations"][i]))

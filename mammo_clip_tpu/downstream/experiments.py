@@ -188,4 +188,22 @@ def make_detector_steps(model, anchors, preprocess, alpha: float = 0.25, gamma: 
             train=False,
         )
 
-    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(infer_step)
+    def infer_multiscale(state: TrainState, batch, scales,
+                         score_threshold=0.05, iou_threshold=0.5):
+        """Multi-scale eval: preprocess once, then detect over the scale set
+        with a single merged NMS (models/retinanet.detect_multiscale)."""
+        from ..models.retinanet import detect_multiscale
+
+        b = preprocess(batch, None)
+
+        def apply_fn(imgs):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                imgs, train=False)
+
+        return detect_multiscale(apply_fn, b["images"], tuple(scales),
+                                 score_threshold=score_threshold,
+                                 iou_threshold=iou_threshold)
+
+    return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(infer_step),
+            jax.jit(infer_multiscale, static_argnames=("scales",)))

@@ -202,3 +202,56 @@ def detect(
 
     b, s, c, v = jax.vmap(per_image)(outputs["class_probs"], outputs["box_deltas"])
     return {"boxes": b, "scores": s, "classes": c, "valid": v}
+
+
+def detect_multiscale(
+    apply_fn,
+    images: jnp.ndarray,
+    scales: Tuple[float, ...],
+    score_threshold: float = 0.05,
+    iou_threshold: float = 0.5,
+    top_k_per_class: int = 100,
+):
+    """Multi-scale inference: run the detector at several image scales, map all
+    candidate boxes back to the base frame, and run ONE per-class NMS over the
+    merged pool (so a detection found at any scale can suppress duplicates from
+    the others).
+
+    A capability the reference's single-scale eval (detector_model.py:331-354)
+    lacks; standard test-time trick for small-lesion recall. Shape-static: the
+    scale set is a static tuple, each scale is its own compiled branch, and the
+    merged candidate pool has a fixed size (sum of per-scale anchor counts).
+
+    ``apply_fn(images) -> {"class_probs", "box_deltas"}`` runs the model (close
+    over variables/jit outside). Returns the same dict as ``detect``.
+    """
+    base_h, base_w = images.shape[1], images.shape[2]
+    all_boxes, all_probs = [], []
+    for s in scales:
+        # snap scaled dims to the FPN stride (32) so level shapes stay clean
+        sh = max(32, int(round(base_h * s / 32)) * 32)
+        sw = max(32, int(round(base_w * s / 32)) * 32)
+        imgs = images if (sh, sw) == (base_h, base_w) else jax.image.resize(
+            images, (images.shape[0], sh, sw, images.shape[3]), "bilinear")
+        out = apply_fn(imgs)
+        anchors = jnp.asarray(build_anchors((sh, sw)))
+
+        def per_image(deltas):
+            boxes = clip_boxes(decode_boxes(anchors, deltas), (sh, sw))
+            # map back to the base frame (independent x/y rescale)
+            rescale = jnp.asarray(
+                [base_w / sw, base_h / sh, base_w / sw, base_h / sh],
+                boxes.dtype)
+            return boxes * rescale
+
+        all_boxes.append(jax.vmap(per_image)(out["box_deltas"]))
+        all_probs.append(out["class_probs"])
+    boxes = jnp.concatenate(all_boxes, axis=1)   # (B, sum_A, 4)
+    probs = jnp.concatenate(all_probs, axis=1)   # (B, sum_A, C)
+
+    def merged_nms(bx, pr):
+        return batched_class_nms(bx, pr, iou_threshold, score_threshold,
+                                 top_k_per_class)
+
+    b, s_, c, v = jax.vmap(merged_nms)(boxes, probs)
+    return {"boxes": b, "scores": s_, "classes": c, "valid": v}

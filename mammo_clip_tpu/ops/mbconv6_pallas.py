@@ -120,34 +120,42 @@ def _bnv(t, mean_ref, inv_ref, gamma_ref, beta_ref):
     return (t - mean_ref[:]) * (inv_ref[:] * gamma_ref[:]) + beta_ref[:]
 
 
-def _row_mask(shape2d, i, h_tile, valid_h, row_offset):
-    """(rows, cols) fp32 mask: 1 where the GLOBAL row i*h_tile + r - row_offset
+def _row_mask(shape2d, i, h_tile, valid_h, row_offset, dtype=jnp.float32):
+    """(rows, cols) mask: 1 where the GLOBAL row i*h_tile + r - row_offset
     lies in [0, valid_h). Built as a 2-D sublane iota (Mosaic: iota is int-only)
     and broadcast over the leading channel dim by the consuming op."""
     r = jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
     g = r + (i * h_tile - row_offset)
-    return jnp.where((g >= 0) & (g < valid_h), 1.0, 0.0)
+    return jnp.where((g >= 0) & (g < valid_h),
+                     jnp.asarray(1, dtype), jnp.asarray(0, dtype))
 
 
-def _col_mask(shape2d, valid_w):
-    """(rows, cols) fp32 mask: 1 on columns [0, valid_w)."""
+def _col_mask(shape2d, valid_w, dtype=jnp.float32):
+    """(rows, cols) mask: 1 on columns [0, valid_w)."""
     c = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
-    return jnp.where(c < valid_w, 1.0, 0.0)
+    return jnp.where(c < valid_w, jnp.asarray(1, dtype), jnp.asarray(0, dtype))
 
 
-def _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w):
-    """Expanded+activated w on a (C, rows, W) x tile -> (E, rows, W), masked so
-    out-of-image rows/cols are exactly zero (SAME-pad semantics: the padded x is
-    zero there, but silu(bn0(0)) is not — the mask restores the truth).
+def _om(i, h_tile, W, valid_h, valid_w, dtype=jnp.float32, rows=None, off=0):
+    rows = h_tile if rows is None else rows
+    return _row_mask((rows, W), i, h_tile, valid_h, off, dtype) * \
+        _col_mask((rows, W), valid_w, dtype)
+
+
+def _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w):
+    """Expanded+activated w on a (C, rows, W) x tile -> (E, rows, W) in the
+    compute dtype cdt, masked so out-of-image rows/cols are exactly zero
+    (SAME-pad semantics: the padded x is zero there, but silu(bn0(0)) is not —
+    the mask restores the truth).
 
     The row offset is the halo depth: fwd tiles carry 1 extra row each side,
     the B3/B4 tiles 2. Inferred from rows - h_tile."""
     rows, width = xp.shape[1], xp.shape[2]
     halo = (rows - h_tile) // 2
-    z = _project(we, xp)  # (E, rows, W) — one row-merged MXU dot
+    z = _project(we, xp, out_dtype=cdt)  # (E, rows, W) — one row-merged MXU dot
     w = _silu(_bnv(z, m0, inv0, g0, b0))
-    mask = _row_mask((rows, width), i, h_tile, valid_h, halo) * \
-        _col_mask((rows, width), valid_w)
+    mask = _row_mask((rows, width), i, h_tile, valid_h, halo, cdt) * \
+        _col_mask((rows, width), valid_w, cdt)
     return w * mask
 
 
@@ -170,14 +178,15 @@ def _p1_kernel(xm, sx_out, sxx_out):
     sxx_out[:, :] += _rowwise_ab(x, x)
 
 
-def _p2_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
+def _p2_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
                m0, inv0, g0, b0, sums):
-    """accumulate (E, 1, 2): [sum d, sum d^2] over the valid region."""
+    """accumulate (E, 1, 2): [sum d, sum d^2] over the valid region (d stays
+    fp32 here for the variance reduction)."""
     i = pl.program_id(1)
-    xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
-    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    xp = _tile_with_halo(xm, xt, xb, i, n_tiles, cdt)
+    w = _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
     d = _depthwise(w, k, h_tile, W)
-    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
+    om = _om(i, h_tile, W, valid_h, valid_w)
 
     @pl.when(_first_step())
     def _():
@@ -187,15 +196,15 @@ def _p2_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
     sums[:, :, 1:2] += _csum(d * d * om)
 
 
-def _p3_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
+def _p3_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, s_out):
     """per-image SE squeeze: s = sum over the valid region of v, (N, E)."""
     i = pl.program_id(1)
-    xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
-    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
-    d = _depthwise(w, k, h_tile, W)
+    xp = _tile_with_halo(xm, xt, xb, i, n_tiles, cdt)
+    w = _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    d = _depthwise(w, k, h_tile, W).astype(cdt)
     v = _silu(_bnv(d, m1, inv1, g1, b1))
-    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
+    om = _om(i, h_tile, W, valid_h, valid_w)
 
     @pl.when(i == 0)
     def _():
@@ -204,18 +213,18 @@ def _p3_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
     s_out[0] += _csum(v * om)
 
 
-def _p4_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
+def _p4_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, r_y):
     """accumulate (C2, 1, 2): [sum y, sum y^2]; u is masked so y vanishes on the
     pad region and the reduction needs no further masking."""
     i = pl.program_id(1)
-    xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
-    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
-    d = _depthwise(w, k, h_tile, W)
+    xp = _tile_with_halo(xm, xt, xb, i, n_tiles, cdt)
+    w = _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    d = _depthwise(w, k, h_tile, W).astype(cdt)
     v = _silu(_bnv(d, m1, inv1, g1, b1))
-    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
+    om = _om(i, h_tile, W, valid_h, valid_w, cdt)
     u = v * om * gate[0]
-    y = _project(wp, u)  # (C2, hT, W)
+    y = _project(wp, u)  # (C2, hT, W) fp32
 
     @pl.when(_first_step())
     def _():
@@ -225,23 +234,25 @@ def _p4_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
     r_y[:, :, 1:2] += _csum(y * y)
 
 
-def _p5_kernel(n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb, k, we,
-               m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp,
+def _p5_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb,
+               k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp,
                m2, inv2, g2, b2, delta, out):
     """out = ([x +] delta * bn2(project(v * g))) * mask — ZERO pads out, so the
     next fused block's zero-pad input contract holds without re-padding."""
     i = pl.program_id(1)
-    xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
-    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
-    d = _depthwise(w, k, h_tile, W)
+    xp = _tile_with_halo(xm, xt, xb, i, n_tiles, cdt)
+    w = _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    d = _depthwise(w, k, h_tile, W).astype(cdt)
     v = _silu(_bnv(d, m1, inv1, g1, b1))
     u = v * gate[0]
-    y = _project(wp, u)
-    yhat = _bnv(y, m2, inv2, g2, b2)
+    y = _project(wp, u)  # (C2, hT, W) fp32
+    yhat = (y - m2[:].astype(jnp.float32)) * \
+        (inv2[:].astype(jnp.float32) * g2[:].astype(jnp.float32)) + \
+        b2[:].astype(jnp.float32)
     res = delta[pl.program_id(0), 0] * yhat
     if residual:
         res = res + xm[0].astype(jnp.float32)
-    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
+    om = _om(i, h_tile, W, valid_h, valid_w)
     out[0] = (res * om).astype(out.dtype)
 
 
@@ -250,31 +261,31 @@ def _p5_kernel(n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb, k, we
 # --------------------------------------------------------------------------------
 
 
-def _recompute_to_v(xm, xt, xb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1,
+def _recompute_to_v(cdt, xm, xt, xb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1,
                     i, n_tiles, h_tile, W, valid_h, valid_w):
-    xp = _tile_with_halo(xm, xt, xb, i, n_tiles)
-    w = _w_tile(xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
-    d = _depthwise(w, k, h_tile, W)
+    xp = _tile_with_halo(xm, xt, xb, i, n_tiles, cdt)
+    w = _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    d = _depthwise(w, k, h_tile, W).astype(cdt)
     dhat = _bnv(d, m1, inv1, g1, b1)
     return w, d, dhat, _silu(dhat)
 
 
-def _b1_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
+def _b1_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2,
                delta, r2_out, t1_out, t2_out):
     """bn2-backward terms + the per-image SE bilinear matrices.
 
     r2_out (C2, 1, 2): [sum dyh, sum dyh*ybar]; t1/t2 (1, E, C2)."""
     i = pl.program_id(1)
-    _, _, _, v = _recompute_to_v(xm, xt, xb, k, we, m0, inv0, g0, b0,
+    _, _, _, v = _recompute_to_v(cdt, xm, xt, xb, k, we, m0, inv0, g0, b0,
                                  m1, inv1, g1, b1, i, n_tiles, h_tile, W,
                                  valid_h, valid_w)
-    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
+    om = _om(i, h_tile, W, valid_h, valid_w, cdt)
     v = v * om
     u = v * gate[0]
-    y = _project(wp, u)
-    ybar = (y - m2[:]) * inv2[:]
-    dyhat = gm[0].astype(jnp.float32) * delta[pl.program_id(0), 0]
+    y = _project(wp, u)  # C2-channel: fp32
+    ybar = ((y - m2[:]) * inv2[:]).astype(cdt)
+    dyhat = (gm[0] * delta[pl.program_id(0), 0].astype(gm.dtype)).astype(cdt)
 
     @pl.when(_first_step())
     def _():
@@ -291,7 +302,7 @@ def _b1_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
     t2_out[0] += _rowwise_ab(v, ybar)
 
 
-def _b2_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
+def _b2_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
                alpha2, beta2r, ds_hw, delta, r1_out, dwp_out, taps_out):
     """bn1-backward terms, dWp, and the 9-tap dK correlation sums.
@@ -301,16 +312,16 @@ def _b2_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
     taps_out (E, 1, 27): [sum_tap w, sum_tap w*dbar, sum_tap w*db1h] x 9 taps
     """
     i = pl.program_id(1)
-    w, d, dhat, v = _recompute_to_v(xm, xt, xb, k, we, m0, inv0, g0, b0,
+    w, d, dhat, v = _recompute_to_v(cdt, xm, xt, xb, k, we, m0, inv0, g0, b0,
                                     m1, inv1, g1, b1, i, n_tiles, h_tile, W,
                                     valid_h, valid_w)
-    om = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
+    om = _om(i, h_tile, W, valid_h, valid_w, cdt)
     u = v * om * gate[0]
-    y = _project(wp, u)
+    y = _project(wp, u)  # C2-channel: fp32
     ybar = (y - m2[:]) * inv2[:]
     dyhat = gm[0].astype(jnp.float32) * delta[pl.program_id(0), 0]
-    dy = (g2[:] * inv2[:]) * dyhat - alpha2[:] - ybar * beta2r[:]
-    du = _project(wp, dy, transpose=True)
+    dy = ((g2[:] * inv2[:]) * dyhat - alpha2[:] - ybar * beta2r[:]).astype(cdt)
+    du = _project(wp, dy, transpose=True, out_dtype=cdt)
     dv = (du * gate[0] + ds_hw[0]) * om
     db1h = dv * _dsilu(dhat)
     dbar = (d - m1[:]) * inv1[:]
@@ -334,22 +345,25 @@ def _b2_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
             taps_out[:, :, j + 2: j + 3] += _csum(ws * db1h)
 
 
-def _chain_to_dz0hat(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt,
-                     gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp,
-                     m2, inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b, delta):
+def _chain_to_dz0hat(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm,
+                     gt, gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate,
+                     wp, m2, inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b, delta):
     """Shared B3/B4 recompute: x (2-row halos) -> dd on extended rows ->
     dL/dw = corr(K~, dd) -> dz0hat on the main rows (masked to the valid
-    region). Returns (x_main_f32, zbar0, dz0hat), each (·, hT, W)."""
+    region). Returns (x_main_f32, zbar0 fp32, dz0hat fp32), each (·, hT, W);
+    the wide intermediate chain runs in the compute dtype cdt."""
     i = pl.program_id(1)
-    xmv = xm[0].astype(jnp.float32)
-    top_m = jnp.where(i > 0, 1.0, 0.0)
-    bot_m = jnp.where(i < n_tiles - 1, 1.0, 0.0)
-    rows_top = xt[0, :, 6:8, :].astype(jnp.float32) * top_m
-    rows_bot = xb[0, :, 0:2, :].astype(jnp.float32) * bot_m
+    xmv = xm[0].astype(cdt)
+    zc = jnp.asarray(0, cdt)
+    oc = jnp.asarray(1, cdt)
+    top_m = jnp.where(i > 0, oc, zc)
+    bot_m = jnp.where(i < n_tiles - 1, oc, zc)
+    rows_top = xt[0, :, 6:8, :].astype(cdt) * top_m
+    rows_bot = xb[0, :, 0:2, :].astype(cdt) * bot_m
     xfull = jnp.concatenate([rows_top, xmv, rows_bot], axis=1)  # (C, hT+4, W)
 
     # w on rows [-2, hT+2), masked to the valid image
-    w4 = _w_tile(xfull, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    w4 = _w_tile(cdt, xfull, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
     # d on output rows [-1, hT+1); column shifts from an internal zero pad
     h_ext = h_tile + 2
     w4p = jnp.pad(w4, ((0, 0), (0, 0), (1, 1)))
@@ -357,23 +371,25 @@ def _chain_to_dz0hat(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt,
     for a in range(3):
         for b in range(3):
             tap = k[:, 3 * a + b: 3 * a + b + 1, :]
-            term = w4p[:, a: a + h_ext, b: b + W] * tap
+            term = (w4p[:, a: a + h_ext, b: b + W] * tap).astype(jnp.float32)
             d_ext = term if d_ext is None else d_ext + term
+    d_ext = d_ext.astype(cdt)
     dhat_ext = _bnv(d_ext, m1, inv1, g1, b1)
     v_ext = _silu(dhat_ext)
-    om_ext = _row_mask((h_ext, W), i, h_tile, valid_h, 1) * _col_mask((h_ext, W), valid_w)
+    om_ext = _om(i, h_tile, W, valid_h, valid_w, cdt, rows=h_ext, off=1)
     v_ext = v_ext * om_ext
 
-    g_top = gt[0, :, 7:8, :].astype(jnp.float32) * top_m
-    g_bot = gb[0, :, 0:1, :].astype(jnp.float32) * bot_m
-    g_ext = jnp.concatenate([g_top, gm[0].astype(jnp.float32), g_bot], axis=1)
+    g_top = gt[0, :, 7:8, :].astype(cdt) * top_m
+    g_bot = gb[0, :, 0:1, :].astype(cdt) * bot_m
+    g_ext = jnp.concatenate([g_top, gm[0].astype(cdt), g_bot], axis=1)
 
     u_ext = v_ext * gate[0]
-    y_ext = _project(wp, u_ext)
+    y_ext = _project(wp, u_ext)  # C2-channel: fp32
     ybar_ext = (y_ext - m2[:]) * inv2[:]
-    dyhat_ext = g_ext * delta[pl.program_id(0), 0]
-    dy_ext = (g2[:] * inv2[:]) * dyhat_ext - alpha2[:] - ybar_ext * beta2r[:]
-    du_ext = _project(wp, dy_ext, transpose=True)
+    dyhat_ext = g_ext.astype(jnp.float32) * delta[pl.program_id(0), 0]
+    dy_ext = ((g2[:] * inv2[:]) * dyhat_ext - alpha2[:]
+              - ybar_ext * beta2r[:]).astype(cdt)
+    du_ext = _project(wp, dy_ext, transpose=True, out_dtype=cdt)
     dv_ext = (du_ext * gate[0] + ds_hw[0]) * om_ext
     db1h_ext = dv_ext * _dsilu(dhat_ext)
     dbar_ext = (d_ext - m1[:]) * inv1[:]
@@ -381,29 +397,31 @@ def _chain_to_dz0hat(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt,
     dd_ext = dd_ext * om_ext  # bn affine terms are nonzero outside the image
     dd_pad = jnp.pad(dd_ext, ((0, 0), (0, 0), (1, 1)))  # (E, hT+2, W+2)
 
-    # dL/dw = correlation with the 180-degree-flipped kernel
+    # dL/dw = correlation with the 180-degree-flipped kernel (fp32 accumulate)
     dwact = None
     for a in range(3):
         for b in range(3):
             tap = k[:, 3 * a + b: 3 * a + b + 1, :]
-            term = dd_pad[:, (2 - a): (2 - a) + h_tile, (2 - b): (2 - b) + W] * tap
+            term = (dd_pad[:, (2 - a): (2 - a) + h_tile,
+                           (2 - b): (2 - b) + W] * tap).astype(jnp.float32)
             dwact = term if dwact is None else dwact + term
     # w was force-zeroed outside the valid image — its gradient stops there
-    im = _row_mask((h_tile, W), i, h_tile, valid_h, 0) * _col_mask((h_tile, W), valid_w)
-    z_main = _project(we, xmv)
-    zbar0 = (z_main - m0[:]) * inv0[:]
-    zhat0 = zbar0 * g0[:] + b0[:]
+    im = _om(i, h_tile, W, valid_h, valid_w)
+    z_main = _project(we, xmv)  # fp32: feeds the bn0-backward statistics
+    m0f, inv0f = m0[:].astype(jnp.float32), inv0[:].astype(jnp.float32)
+    zbar0 = (z_main - m0f) * inv0f
+    zhat0 = zbar0 * g0[:].astype(jnp.float32) + b0[:].astype(jnp.float32)
     dz0hat = dwact * _dsilu(zhat0) * im
-    return xmv, zbar0, dz0hat
+    return xmv.astype(jnp.float32), zbar0, dz0hat
 
 
-def _b3_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt, gb, k,
-               we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
-               alpha2, beta2r, ds_hw, r1a, r1b, delta, rz_out, t3_out):
+def _b3_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt,
+               gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2,
+               inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b, delta, rz_out, t3_out):
     """bn0-backward terms and T3 = sum(x (x) dz0hat) for the analytic dWe."""
     xmv, zbar0, dz0hat = _chain_to_dz0hat(
-        n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt, gb, k, we,
-        m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
+        cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt, gb, k,
+        we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
         alpha2, beta2r, ds_hw, r1a, r1b, delta)
 
     @pl.when(_first_step())
@@ -416,21 +434,22 @@ def _b3_kernel(n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt, gb, k,
     t3_out[:, :] += _rowwise_ab(xmv, dz0hat)
 
 
-def _b4_kernel(n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb, gm,
-               gt, gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2,
-               inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b, alpha0, beta0r,
+def _b4_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb,
+               gm, gt, gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp,
+               m2, inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b, alpha0, beta0r,
                delta, dx_out):
     """dx = ([G +] We dz) * mask with dz the exact bn0 backward; zero pads out
     (the previous block's cotangent contract)."""
     _, zbar0, dz0hat = _chain_to_dz0hat(
-        n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt, gb, k, we,
-        m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
+        cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt, gb, k,
+        we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
         alpha2, beta2r, ds_hw, r1a, r1b, delta)
-    dz = (g0[:] * inv0[:]) * dz0hat - alpha0[:] - zbar0 * beta0r[:]
-    dx = _project(we, dz, transpose=True)  # (C, hT, W)
+    g0f, inv0f = g0[:].astype(jnp.float32), inv0[:].astype(jnp.float32)
+    dz = ((g0f * inv0f) * dz0hat - alpha0[:].astype(jnp.float32)
+          - zbar0 * beta0r[:].astype(jnp.float32)).astype(cdt)
+    dx = _project(we, dz, transpose=True)  # (C, hT, W) fp32
     i = pl.program_id(1)
-    h_tile_ = dz.shape[1]
-    om = _row_mask((h_tile_, W), i, h_tile_, valid_h, 0) * _col_mask((h_tile_, W), valid_w)
+    om = _om(i, h_tile, W, valid_h, valid_w)
     if residual:
         dx = dx + gm[0].astype(jnp.float32)
     dx_out[0] = (dx * om).astype(dx_out.dtype)
@@ -441,30 +460,33 @@ def _b4_kernel(n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb, gm,
 # --------------------------------------------------------------------------------
 
 
-VMEM_BUDGET = 85 * 2 ** 20  # scoped-vmem stack limit is 100M; leave headroom
+VMEM_BUDGET = 80 * 2 ** 20  # scoped-vmem stack limit is ~114M; leave headroom
 
 
-def _tile_fp32_bytes(e: int, t: int, w: int) -> int:
+def _tile_budget_bytes(e: int, t: int, w: int, itemsize: int) -> int:
     """Estimated peak VMEM of the heaviest (B3/B4) kernel at tile height t:
-    ~12 live fp32 extended-row (E, t+4, W+4) tiles (measured: 119M at
-    E=240/t=24/W=380, i.e. K~11.5)."""
-    return 12 * e * (t + 4) * (w + 4) * 4
+    ~15 live compute-dtype extended-row tiles at their PADDED shapes (rows to
+    the 8-sublane tile incl. the +4 halo, lanes to 128 incl. the +2 stencil
+    pad). Calibrated against a measured 115.8M at E=240/t=8/W=384/fp32."""
+    rows_padded = -(-(t + 4) // 8) * 8
+    lanes_padded = w + 128
+    return 15 * e * rows_padded * lanes_padded * itemsize
 
 
-def _pick_h_tile(H: int, E: int, W: int) -> int:
+def _pick_h_tile(H: int, E: int, W: int, itemsize: int = 4) -> int:
     for t in (24, 16, 8):
-        if H % t == 0 and _tile_fp32_bytes(E, t, W) <= VMEM_BUDGET:
+        if H % t == 0 and _tile_budget_bytes(E, t, W, itemsize) <= VMEM_BUDGET:
             return t
     raise ValueError(
         f"no tile height fits H={H}, E={E}, W={W} under the VMEM budget")
 
 
-def pick_h_pad(h: int, e: int, w: int) -> int:
+def pick_h_pad(h: int, e: int, w: int, itemsize: int = 2) -> int:
     """Padded height the integration should use: smallest multiple of the
     largest budget-feasible tile (so the kernel's _pick_h_tile selects that
-    same tile). ``w`` is the PADDED width."""
+    same tile). ``w`` is the PADDED width; ``itemsize`` the activation dtype's."""
     for t in (24, 16, 8):
-        if _tile_fp32_bytes(e, t, w) <= VMEM_BUDGET:
+        if _tile_budget_bytes(e, t, w, itemsize) <= VMEM_BUDGET:
             return -(-h // t) * t
     raise ValueError(f"expanded width E={e} too large for the fused kernel at W={w}")
 
@@ -486,11 +508,11 @@ def fused_mbconv_e6(x, params: MBConv6Params, delta, valid_h: int, valid_w: int,
     return out, stats
 
 
-def _common_specs(p: MBConv6Params, N, C, E, C2, W):
+def _common_specs(p: MBConv6Params, N, C, E, C2, W, cdt):
     wespec = pl.BlockSpec((C, E), lambda n, i: (0, 0), memory_space=pltpu.VMEM)
     wpspec = pl.BlockSpec((E, C2), lambda n, i: (0, 0), memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((E, 9, W), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM)
-    k = jnp.broadcast_to(p.dw_kernel.astype(jnp.float32).reshape(E, 9, 1), (E, 9, W))
+    k = jnp.broadcast_to(p.dw_kernel.astype(cdt).reshape(E, 9, 1), (E, 9, W))
     gate_spec = pl.BlockSpec((1, E, 1, W), lambda n, i: (n, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((N, 1), lambda n, i: (0, 0), memory_space=pltpu.SMEM)
@@ -503,13 +525,17 @@ def _forward(x, p: MBConv6Params, delta, valid_h, valid_w, eps, interpret):
     C2 = p.wp.shape[1]
     residual = C2 == C
     assert 0 < valid_h <= H and 0 < valid_w <= W
-    h_tile = _pick_h_tile(H, E, W)
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    h_tile = _pick_h_tile(H, E, W, jnp.dtype(cdt).itemsize)
     n_tiles, halo = _halo_specs(C, h_tile, W, H)
     grid = (N, n_tiles)
     n = N * valid_h * valid_w
-    wespec, wpspec, kspec, k, gate_spec, dspec = _common_specs(p, N, C, E, C2, W)
-    we = p.we.astype(jnp.float32)
-    wp = p.wp.astype(jnp.float32)
+    wespec, wpspec, kspec, k, gate_spec, dspec = _common_specs(p, N, C, E, C2, W, cdt)
+    # host-side analytics use the SAME rounded weights the kernels compute with
+    we = p.we.astype(cdt).astype(jnp.float32)
+    wp = p.wp.astype(cdt).astype(jnp.float32)
+    we_k = we.astype(cdt)
+    wp_k = wp.astype(cdt)
     vecE = _vec_spec(E, W)
     vecC2 = _vec_spec(C2, W)
 
@@ -533,61 +559,64 @@ def _forward(x, p: MBConv6Params, delta, valid_h, valid_w, eps, interpret):
     ey2 = jnp.einsum("ce,cd,de->e", we, sxx, we) / n
     var0 = jnp.maximum(ey2 - mean0 * mean0, 0.0)
     inv0 = jax.lax.rsqrt(var0 + eps)
-    m0v, inv0v, g0v, b0v = _channel_vecs(W, mean0, inv0, p.gamma0, p.beta0)
+    m0v, inv0v, g0v, b0v = _channel_vecs(W, mean0, inv0, p.gamma0, p.beta0,
+                                         dtype=cdt)
     vecs0 = [m0v, inv0v, g0v, b0v]
 
     # ---- P2: bn1 stats
     sums = _grid_call(
-        functools.partial(_p2_kernel, n_tiles, h_tile, W, valid_h, valid_w),
+        functools.partial(_p2_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 4,
         out_shape=jax.ShapeDtypeStruct((E, 1, 2), jnp.float32),
         out_specs=pl.BlockSpec((E, 1, 2), lambda n, i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, x, x, k, we, *vecs0)
+    )(x, x, x, k, we_k, *vecs0)
     mean1 = sums[:, 0, 0] / n
     var1 = jnp.maximum(sums[:, 0, 1] / n - mean1 * mean1, 0.0)
     inv1 = jax.lax.rsqrt(var1 + eps)
-    m1v, inv1v, g1v, b1v = _channel_vecs(W, mean1, inv1, p.gamma1, p.beta1)
+    m1v, inv1v, g1v, b1v = _channel_vecs(W, mean1, inv1, p.gamma1, p.beta1,
+                                         dtype=cdt)
     vecs1 = [m1v, inv1v, g1v, b1v]
 
     # ---- P3: SE squeeze
     s_sum = _grid_call(
-        functools.partial(_p3_kernel, n_tiles, h_tile, W, valid_h, valid_w),
+        functools.partial(_p3_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 8,
         out_shape=jax.ShapeDtypeStruct((N, E, 1, 1), jnp.float32),
         out_specs=pl.BlockSpec((1, E, 1, 1), lambda n, i: (n, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, x, x, k, we, *vecs0, *vecs1)
+    )(x, x, x, k, we_k, *vecs0, *vecs1)
     s_sum = s_sum[:, :, 0, 0]
     hw = valid_h * valid_w
     s_mean = s_sum / hw
     gate, _ = _se_gate(s_mean, p)  # (N, E)
     gate_rows = jnp.broadcast_to(
-        gate.reshape(N, E, 1, 1).astype(jnp.float32), (N, E, 1, W))
+        gate.reshape(N, E, 1, 1).astype(cdt), (N, E, 1, W))
     delta_rows = delta.reshape(N, 1).astype(jnp.float32)
 
     # ---- P4: bn2 stats (direct reduction — y is only C2 channels wide)
     r_y = _grid_call(
-        functools.partial(_p4_kernel, n_tiles, h_tile, W, valid_h, valid_w),
+        functools.partial(_p4_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 8 + [gate_spec, wpspec],
         out_shape=jax.ShapeDtypeStruct((C2, 1, 2), jnp.float32),
         out_specs=pl.BlockSpec((C2, 1, 2), lambda n, i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, x, x, k, we, *vecs0, *vecs1, gate_rows, wp)
+    )(x, x, x, k, we_k, *vecs0, *vecs1, gate_rows, wp_k)
     mean2 = r_y[:, 0, 0] / n
     var2 = jnp.maximum(r_y[:, 0, 1] / n - mean2 * mean2, 0.0)
     inv2 = jax.lax.rsqrt(var2 + eps)
-    m2v, inv2v, g2v, b2v = _channel_vecs(W, mean2, inv2, p.gamma2, p.beta2)
+    m2v, inv2v, g2v, b2v = _channel_vecs(W, mean2, inv2, p.gamma2, p.beta2,
+                                         dtype=cdt)
 
     # ---- P5: apply + write
     out = _grid_call(
-        functools.partial(_p5_kernel, n_tiles, h_tile, W, valid_h, valid_w,
+        functools.partial(_p5_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w,
                           residual),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 8 +
@@ -596,8 +625,8 @@ def _forward(x, p: MBConv6Params, delta, valid_h, valid_w, eps, interpret):
         out_specs=pl.BlockSpec((1, C2, h_tile, W), lambda n, i: (n, 0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, x, x, k, we, *vecs0, *vecs1, gate_rows, wp, m2v, inv2v, g2v, b2v,
-      delta_rows)
+    )(x, x, x, k, we_k, *vecs0, *vecs1, gate_rows, wp_k, m2v, inv2v, g2v,
+      b2v, delta_rows)
 
     saved = (x, delta, sx_v, sxx, mean0, var0, mean1, var1, mean2, var2,
              s_mean, gate)
@@ -617,33 +646,39 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
     E = p.we.shape[1]
     C2 = p.wp.shape[1]
     residual = C2 == C
-    h_tile = _pick_h_tile(H, E, W)
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    h_tile = _pick_h_tile(H, E, W, jnp.dtype(cdt).itemsize)
     n_tiles, halo = _halo_specs(C, h_tile, W, H)
     grid = (N, n_tiles)
     n = N * valid_h * valid_w
     hw = valid_h * valid_w
-    wespec, wpspec, kspec, k, gate_spec, dspec = _common_specs(p, N, C, E, C2, W)
-    we = p.we.astype(jnp.float32)
-    wp = p.wp.astype(jnp.float32)
+    wespec, wpspec, kspec, k, gate_spec, dspec = _common_specs(p, N, C, E, C2, W, cdt)
+    we = p.we.astype(cdt).astype(jnp.float32)
+    wp = p.wp.astype(cdt).astype(jnp.float32)
+    we_k = we.astype(cdt)
+    wp_k = wp.astype(cdt)
     inv0 = jax.lax.rsqrt(var0 + eps)
     inv1 = jax.lax.rsqrt(var1 + eps)
     inv2 = jax.lax.rsqrt(var2 + eps)
     vecE = _vec_spec(E, W)
     vecC2 = _vec_spec(C2, W)
-    m0v, inv0v, g0v, b0v = _channel_vecs(W, mean0, inv0, p.gamma0, p.beta0)
+    m0v, inv0v, g0v, b0v = _channel_vecs(W, mean0, inv0, p.gamma0, p.beta0,
+                                         dtype=cdt)
     vecs0 = [m0v, inv0v, g0v, b0v]
-    m1v, inv1v, g1v, b1v = _channel_vecs(W, mean1, inv1, p.gamma1, p.beta1)
+    m1v, inv1v, g1v, b1v = _channel_vecs(W, mean1, inv1, p.gamma1, p.beta1,
+                                         dtype=cdt)
     vecs1 = [m1v, inv1v, g1v, b1v]
-    m2v, inv2v, g2v, _ = _channel_vecs(W, mean2, inv2, p.gamma2, p.beta2)
+    m2v, inv2v, g2v, _ = _channel_vecs(W, mean2, inv2, p.gamma2, p.beta2,
+                                       dtype=cdt)
     gate_rows = jnp.broadcast_to(
-        gate.reshape(N, E, 1, 1).astype(jnp.float32), (N, E, 1, W))
+        gate.reshape(N, E, 1, 1).astype(cdt), (N, E, 1, W))
     delta_rows = delta.reshape(N, 1).astype(jnp.float32)
     gspec_main = pl.BlockSpec((1, C2, h_tile, W), lambda n, i: (n, 0, i, 0),
                               memory_space=pltpu.VMEM)
 
     # ---- B1: bn2 backward terms + SE bilinear matrices
     r2, t1, t2 = _grid_call(
-        functools.partial(_b1_kernel, n_tiles, h_tile, W, valid_h, valid_w),
+        functools.partial(_b1_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=halo + [gspec_main, kspec, wespec] + [vecE] * 8 +
         [gate_spec, wpspec, vecC2, vecC2, dspec],
@@ -658,7 +693,7 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
             pl.BlockSpec((1, E, C2), lambda n, i: (n, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(x, x, x, g_out, k, we, *vecs0, *vecs1, gate_rows, wp, m2v, inv2v,
+    )(x, x, x, g_out, k, we_k, *vecs0, *vecs1, gate_rows, wp_k, m2v, inv2v,
       delta_rows)
 
     r2_0 = r2[:, 0, 0]
@@ -686,12 +721,12 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
     dse_b1 = jnp.sum(dz1, axis=0)
     ds = dz1 @ p.se_w1.T  # (N, E): dL/ds_mean
     ds_hw = jnp.broadcast_to(
-        (ds / hw).reshape(N, E, 1, 1).astype(jnp.float32), (N, E, 1, W))
-    alpha2v, beta2v = _channel_vecs(W, alpha2, beta2r)
+        (ds / hw).reshape(N, E, 1, 1).astype(cdt), (N, E, 1, W))
+    alpha2v, beta2v = _channel_vecs(W, alpha2, beta2r, dtype=cdt)
 
     # ---- B2: bn1 backward terms + dWp + dK taps
     r1, dwp, taps = _grid_call(
-        functools.partial(_b2_kernel, n_tiles, h_tile, W, valid_h, valid_w),
+        functools.partial(_b2_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=halo + [gspec_main, kspec, wespec] + [vecE] * 8 +
         [gate_spec, wpspec, vecC2, vecC2, vecC2, vecC2, vecC2, gate_spec, dspec],
@@ -706,8 +741,8 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
             pl.BlockSpec((E, 1, 27), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(x, x, x, g_out, k, we, *vecs0, *vecs1, gate_rows, wp, m2v, inv2v, g2v,
-      alpha2v, beta2v, ds_hw, delta_rows)
+    )(x, x, x, g_out, k, we_k, *vecs0, *vecs1, gate_rows, wp_k, m2v, inv2v,
+      g2v, alpha2v, beta2v, ds_hw, delta_rows)
 
     r1_0 = r1[:, 0, 0]
     r1_1 = r1[:, 0, 1]
@@ -722,7 +757,7 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
         - r1b[:, None] * t[:, :, 1]
     )
     ddw = dk.reshape(E, 3, 3)
-    r1av, r1bv = _channel_vecs(W, r1a, r1b)
+    r1av, r1bv = _channel_vecs(W, r1a, r1b, dtype=cdt)
 
     # B3/B4 halo specs: 2 x-rows and 1 G-row served by 8-row neighbor blocks
     r8 = h_tile // 8
@@ -740,7 +775,7 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
 
     # ---- B3: bn0 backward terms + T3
     rz, t3 = _grid_call(
-        functools.partial(_b3_kernel, n_tiles, h_tile, W, valid_h, valid_w),
+        functools.partial(_b3_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
         grid=grid,
         in_specs=[xm, xt2, xb2, gspec_main, gt, gb, kspec, wespec] +
         [vecE] * 8 + [gate_spec, wpspec, vecC2, vecC2, vecC2, vecC2, vecC2,
@@ -754,7 +789,7 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
             pl.BlockSpec((C, E), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(x, x, x, g_out, g_out, g_out, k, we, *vecs0, *vecs1, gate_rows, wp,
+    )(x, x, x, g_out, g_out, g_out, k, we_k, *vecs0, *vecs1, gate_rows, wp_k,
       m2v, inv2v, g2v, alpha2v, beta2v, ds_hw, r1av, r1bv, delta_rows)
 
     rz_0 = rz[:, 0, 0]
@@ -772,11 +807,11 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
         - sx_v[:, None] * alpha0[None, :]
         - sxz * (inv0 * beta0r)[None, :]
     )
-    alpha0v, beta0rv = _channel_vecs(W, alpha0, beta0r)
+    alpha0v, beta0rv = _channel_vecs(W, alpha0, beta0r)  # fp32: used in fp32 dz
 
     # ---- B4: dx
     dx = _grid_call(
-        functools.partial(_b4_kernel, n_tiles, h_tile, W, valid_h, valid_w,
+        functools.partial(_b4_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w,
                           residual),
         grid=grid,
         in_specs=[xm, xt2, xb2, gspec_main, gt, gb, kspec, wespec] +
@@ -786,7 +821,7 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
         out_specs=pl.BlockSpec((1, C, h_tile, W), lambda n, i: (n, 0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, x, x, g_out, g_out, g_out, k, we, *vecs0, *vecs1, gate_rows, wp,
+    )(x, x, x, g_out, g_out, g_out, k, we_k, *vecs0, *vecs1, gate_rows, wp_k,
       m2v, inv2v, g2v, alpha2v, beta2v, ds_hw, r1av, r1bv, alpha0v, beta0rv,
       delta_rows)
 

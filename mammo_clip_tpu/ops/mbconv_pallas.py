@@ -93,23 +93,26 @@ def _dsilu(x):
 # --------------------------------------------------------------------------------
 
 
-def _tile_with_halo(xm_ref, xt_ref, xb_ref, i, n_tiles):
-    """Assemble the (C, hT+2, W) fp32 tile (1-row halos, NO column extension —
+def _tile_with_halo(xm_ref, xt_ref, xb_ref, i, n_tiles, dtype=jnp.float32):
+    """Assemble the (C, hT+2, W) tile (1-row halos, NO column extension —
     width stays a lane-tile multiple so row merges are pure reshapes).
 
     xm: (1, C, hT, W) main rows; xt/xb: (1, C, 8, W) NEIGHBOR blocks (Mosaic
     requires 8-row-aligned blocks) — the adjacent halo row is sliced out here and
     zero-masked at the image boundary."""
-    xm = xm_ref[0].astype(jnp.float32)
-    top = xt_ref[0, :, 7:8, :].astype(jnp.float32) * jnp.where(i > 0, 1.0, 0.0)
-    bot = xb_ref[0, :, 0:1, :].astype(jnp.float32) * jnp.where(i < n_tiles - 1, 1.0, 0.0)
+    xm = xm_ref[0].astype(dtype)
+    z = jnp.asarray(0, dtype)
+    o = jnp.asarray(1, dtype)
+    top = xt_ref[0, :, 7:8, :].astype(dtype) * jnp.where(i > 0, o, z)
+    bot = xb_ref[0, :, 0:1, :].astype(dtype) * jnp.where(i < n_tiles - 1, o, z)
     return jnp.concatenate([top, xm, bot], axis=1)  # (C, hT+2, W)
 
 
 def _depthwise(xp, k_ref, h_tile, width):
     """d[c, r, w] = SAME-padded 3x3 depthwise of the row-extended tile xp
     (C, hT+2, W); column shifts come from an internal zero pad (the zero matches
-    SAME semantics — callers keep out-of-image columns exactly zero).
+    SAME semantics — callers keep out-of-image columns exactly zero). The 9-tap
+    sum accumulates in fp32 regardless of xp's dtype (returns fp32).
 
     k_ref is the host-pre-expanded (C, 9, W) tap bank: Mosaic cannot broadcast
     sublanes and lanes in one op (and re-folds any in-kernel two-step broadcast),
@@ -119,8 +122,8 @@ def _depthwise(xp, k_ref, h_tile, width):
     d = None
     for a in range(3):
         for b in range(3):
-            tap = k_ref[:, 3 * a + b : 3 * a + b + 1, :]  # (C,1,W) fp32
-            term = xpp[:, a : a + h_tile, b : b + width] * tap
+            tap = k_ref[:, 3 * a + b : 3 * a + b + 1, :]  # (C,1,W)
+            term = (xpp[:, a : a + h_tile, b : b + width] * tap).astype(jnp.float32)
             d = term if d is None else d + term
     return d  # (C, hT, W) fp32
 
@@ -144,7 +147,8 @@ def _flatten_rows(t):
 def _rowwise_ab(a, b):
     """sum_hw a[:, h, w] outer b[:, h, w] -> (Ca, Cb) fp32 as ONE MXU dot over
     the row-merged operands (tpu.matmul supports a single contracting dim per
-    operand, so the (h, w) axes are merged by reshape first)."""
+    operand, so the (h, w) axes are merged by reshape first). Accumulation is
+    fp32 whatever the operand dtype (MXU native)."""
     return jax.lax.dot_general(
         _flatten_rows(a), _flatten_rows(b),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -152,23 +156,27 @@ def _rowwise_ab(a, b):
     )
 
 
-def _project(wp_ref, t, transpose=False):
+def _project(wp_ref, t, transpose=False, out_dtype=jnp.float32):
     """y[c2, h, w] = sum_c1 wp[c1, c2] t[c1, h, w] (transpose contracts c2).
 
-    One (M, K) x (K, h*w) MXU dot over the row-merged tile, reshaped back."""
+    One (M, K) x (K, h*w) MXU dot over the row-merged tile, reshaped back.
+    ``out_dtype`` lets wide (E-channel) results stay bf16 in VMEM — the MXU
+    still accumulates fp32 internally."""
     lhs_c = 1 if transpose else 0
     h, wdt = t.shape[1], t.shape[2]
     y_cat = jax.lax.dot_general(
         wp_ref[:], _flatten_rows(t),
         dimension_numbers=(((lhs_c,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
     return y_cat.reshape(y_cat.shape[0], h, wdt)
 
 
 def _csum(t):
-    """sum over the two minor dims, keeping rank: (C, hT, W) -> (C, 1, 1)."""
-    return jnp.sum(jnp.sum(t, axis=2, keepdims=True), axis=1, keepdims=True)
+    """sum over the two minor dims, keeping rank: (C, hT, W) -> (C, 1, 1).
+    Accumulates in fp32 whatever the input dtype."""
+    return jnp.sum(jnp.sum(t, axis=2, keepdims=True, dtype=jnp.float32),
+                   axis=1, keepdims=True)
 
 
 def _first_step():
@@ -419,10 +427,10 @@ def _b3_kernel(n_tiles, h_tile, W, residual, xm, xt, xb, gm, gt, gb, k, m1, inv1
 # --------------------------------------------------------------------------------
 
 
-def _channel_vecs(width, *vs):
+def _channel_vecs(width, *vs, dtype=jnp.float32):
     """Lane-expand channel vectors to (C, 1, W) on the host side (see _depthwise)."""
     return [
-        jnp.broadcast_to(v.reshape(-1, 1, 1).astype(jnp.float32), (v.size, 1, width))
+        jnp.broadcast_to(v.reshape(-1, 1, 1).astype(dtype), (v.size, 1, width))
         for v in vs
     ]
 

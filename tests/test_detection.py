@@ -273,3 +273,75 @@ def test_soft_nms_linear_matches_reference_formula():
                 S[i] *= 1.0 - iou
     ref_scores = np.array([x[1] for x in got])
     np.testing.assert_allclose(np.asarray(s), np.where(ref_scores > 0.05, ref_scores, 0.0), rtol=1e-5)
+
+
+def test_multiscale_detect_merges_and_suppresses():
+    """detect_multiscale: candidates from every scale land in ONE NMS pool in
+    the base frame — a fake model that 'finds' the same object at both scales
+    yields a single surviving box at the base-frame location."""
+    import jax
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.models.retinanet import detect_multiscale
+    from mammo_clip_tpu.ops.boxes import build_anchors, encode_boxes
+
+    base = (64, 64)
+    target = np.array([10.0, 18.0, 40.0, 52.0])  # base-frame xyxy
+
+    def apply_fn(imgs):
+        h, w = imgs.shape[1], imgs.shape[2]
+        anchors = build_anchors((h, w))
+        sy, sx = h / base[0], w / base[1]
+        scaled = target * np.array([sx, sy, sx, sy])
+        deltas = encode_boxes(jnp.asarray(anchors), jnp.asarray(scaled)[None, :])
+        # every anchor regresses to the object; score peaks on one anchor
+        d = jnp.broadcast_to(deltas, (anchors.shape[0], 4))
+        probs = jnp.full((anchors.shape[0], 2), 0.3, jnp.float32)
+        probs = probs.at[0, 1].set(0.9)
+        return {
+            "class_probs": jnp.broadcast_to(probs, (imgs.shape[0],) + probs.shape),
+            "box_deltas": jnp.broadcast_to(d, (imgs.shape[0],) + d.shape),
+        }
+
+    imgs = jnp.zeros((1, base[0], base[1], 1), jnp.float32)
+    out = detect_multiscale(apply_fn, imgs, scales=(0.5, 1.0),
+                            score_threshold=0.5, iou_threshold=0.5,
+                            top_k_per_class=4)
+    valid = np.asarray(out["valid"][0])
+    boxes = np.asarray(out["boxes"][0])
+    scores = np.asarray(out["scores"][0])
+    kept = boxes[valid & (scores >= 0.5)]
+    # both scales proposed the same object; the merged NMS keeps exactly the
+    # two score-peak anchors (one per scale) collapsed to... the same box:
+    # every kept box must be the base-frame target
+    assert kept.shape[0] >= 1
+    np.testing.assert_allclose(kept, np.broadcast_to(target, kept.shape),
+                               atol=1.5)
+
+
+def test_multiscale_single_scale_matches_detect():
+    """scales=(1.0,) reduces to the plain detect() path."""
+    import jax
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.models.retinanet import detect, detect_multiscale
+    from mammo_clip_tpu.ops.boxes import build_anchors
+
+    rng = np.random.default_rng(0)
+    base = (64, 64)
+    anchors = build_anchors(base)
+    A = anchors.shape[0]
+    out = {
+        "class_probs": jnp.asarray(rng.uniform(0, 1, (2, A, 3)), jnp.float32),
+        "box_deltas": jnp.asarray(rng.normal(0, 0.1, (2, A, 4)), jnp.float32),
+    }
+
+    def apply_fn(imgs):
+        return out
+
+    d1 = detect(out, jnp.asarray(anchors), base, score_threshold=0.3)
+    d2 = detect_multiscale(apply_fn, jnp.zeros((2, 64, 64, 1)), scales=(1.0,),
+                           score_threshold=0.3)
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(np.asarray(d1[k]), np.asarray(d2[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)

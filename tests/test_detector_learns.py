@@ -46,7 +46,7 @@ def test_retinanet_learns_synthetic_localization():
         opt_state=tx.init(variables["params"]),
         tx=tx,
     )
-    train_step, infer_step = make_detector_steps(model, anchors, lambda b, r: b)
+    train_step, infer_step, _ = make_detector_steps(model, anchors, lambda b, r: b)
 
     imgs, boxes = _box_dataset(32)
     v_imgs, v_boxes = _box_dataset(8, seed=1)

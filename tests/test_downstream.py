@@ -154,7 +154,7 @@ def test_detector_train_step_decreases_loss():
         tx=tx,
     )
     preprocess = lambda b, rng: b
-    train_step, infer_step = make_detector_steps(model, anchors, preprocess)
+    train_step, infer_step, _ = make_detector_steps(model, anchors, preprocess)
     rng_np = np.random.default_rng(0)
     batch = {
         "images": jnp.asarray(rng_np.standard_normal((2, H, W, 1)).astype(np.float32)),

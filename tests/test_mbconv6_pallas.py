@@ -213,3 +213,35 @@ def test_fused_bf16_io():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out[:, :, :H, :W], np.float32),
                                np.asarray(out_ref), rtol=0.1, atol=0.2)
+
+
+def test_fused_bf16_gradients_smoke():
+    """The bf16 compute path's full VJP runs and lands within bf16 tolerance of
+    the fp32 reference (production trains with bf16 activations)."""
+    x, delta = _inputs()
+    p = _params()
+    r = np.random.default_rng(3)
+    w_out = jnp.asarray(r.standard_normal((N, C, H, W)), jnp.float32)
+
+    def loss_fused16(x16, p):
+        out, _ = fused_mbconv_e6(x16, p, delta, H, W, 1e-3, True)
+        return jnp.sum(out[:, :, :H, :W].astype(jnp.float32) * w_out)
+
+    def loss_ref(x, p):
+        out, _ = mbconv_e6_reference(x, p, delta)
+        return jnp.sum(out * w_out)
+
+    gf = jax.grad(loss_fused16, argnums=(0, 1))(_pad(x).astype(jnp.bfloat16), p)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, p)
+    dx16 = np.asarray(gf[0][:, :, :H, :W], np.float32)
+    dxr = np.asarray(gr[0])
+    rel = np.linalg.norm(dx16 - dxr) / np.linalg.norm(dxr)
+    assert np.isfinite(rel) and rel < 0.08, rel
+    # pad region of dx stays zero (upstream zero-pad contract)
+    assert float(jnp.abs(gf[0][:, :, H:]).max()) == 0.0
+    assert float(jnp.abs(gf[0][:, :, :, W:]).max()) == 0.0
+    for name in MBConv6Params._fields:
+        a = np.asarray(getattr(gf[1], name), np.float32)
+        b = np.asarray(getattr(gr[1], name))
+        reln = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-6)
+        assert np.isfinite(reln) and reln < 0.15, (name, reln)
