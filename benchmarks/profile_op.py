@@ -96,7 +96,7 @@ def main() -> None:
         a = BlockArgs(kernel=3, stride=1, expand_ratio=expand, in_filters=c,
                       out_filters=c, se_ratio=0.25)
         valid_hw = ()
-        if fused and expand > 1:
+        if fused:
             from mammo_clip_tpu.ops.mbconv6_pallas import pick_h_pad, pick_w_pad
 
             wp = pick_w_pad(w)
@@ -127,6 +127,59 @@ def main() -> None:
         g = jax.jit(jax.value_and_grad(loss))
         return lambda: g(x, variables["params"])[0]
 
+    def step_workload(fused: bool, batch: int = 8):
+        """The full B5 pretraining step exactly as bench.py runs it."""
+        jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+        from mammo_clip_tpu.core.config import default_pretrain_config
+        from mammo_clip_tpu.losses import build_loss
+        from mammo_clip_tpu.models import build_model
+        from mammo_clip_tpu.ops.augment import AugmentConfig, augment_two_views
+        from mammo_clip_tpu.train import (
+            build_optimizer, create_train_state, make_train_step,
+            warmup_cosine_sq_schedule,
+        )
+
+        cfg = default_pretrain_config("b5")
+        cfg.model.image_encoder.remat = True
+        cfg.model.image_encoder.fused_mbconv = fused
+        h, w = cfg.data.image_size_h, cfg.data.image_size_w
+        seq = cfg.data.text_max_length
+        model = build_model(cfg.model.to_dict(), dtype=jnp.bfloat16)
+        loss_fn = build_loss(cfg.loss.to_dict())
+        tx = build_optimizer(cfg.optimizer.to_dict(),
+                             warmup_cosine_sq_schedule(cfg.optimizer.lr, 10_000, 500))
+        aug = AugmentConfig.from_dict(cfg.augment.to_dict())
+        mean, std = cfg.data.mean, cfg.data.std
+
+        def preprocess(b, rng):
+            b = dict(b)
+            b["images"], b["image_views"] = augment_two_views(
+                b["images"], b["image_views"], rng, aug, mean, std, train=True)
+            return b
+
+        ids = r.integers(1, cfg.model.text_encoder.vocab_size,
+                         size=(batch, seq), dtype=np.int32)
+        bt = {
+            "images": jnp.asarray(r.integers(0, 255, (batch, h, w, 1), dtype=np.uint8)),
+            "image_views": jnp.asarray(r.integers(0, 255, (batch, h, w, 1), dtype=np.uint8)),
+            "input_ids": jnp.asarray(ids),
+            "attention_mask": jnp.ones((batch, seq), jnp.int32),
+            "input_ids2": jnp.asarray(ids),
+            "attention_mask2": jnp.ones((batch, seq), jnp.int32),
+        }
+        init_ex = dict(bt)
+        init_ex["images"] = jnp.zeros((batch, h, w, 1), jnp.float32)
+        init_ex["image_views"] = jnp.zeros((batch, h, w, 1), jnp.float32)
+        state = [create_train_state(model, init_ex, tx, jax.random.PRNGKey(0))]
+        step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
+        rng_ = jax.random.PRNGKey(1)
+
+        def run():
+            state[0], ld = step(state[0], bt, rng_)
+            return ld["total"]
+
+        return run
+
     if args.workload == "e1_fused":
         fn = block_workload(1, True, 24, 456, 760)
     elif args.workload == "e1_nhwc":
@@ -135,6 +188,10 @@ def main() -> None:
         fn = block_workload(6, True, 40, 228, 380)
     elif args.workload == "e6_nhwc":
         fn = block_workload(6, False, 40, 228, 380)
+    elif args.workload == "step":
+        fn = step_workload(fused=False)
+    elif args.workload == "step_fused":
+        fn = step_workload(fused=True)
     else:
         raise SystemExit(f"unknown workload {args.workload}")
 

@@ -294,7 +294,6 @@ class MBConvBlock(nn.Module):
         ``fused_valid_hw`` carrying the real dims. Pallas path in train mode;
         Flax path (transposed, pads stripped/restored) in eval."""
         from ..ops.mbconv_pallas import BN_EPS as _EPS
-        from ..ops.mbconv_pallas import fused_mbconv_e1
         from ..ops.mbconv6_pallas import fused_mbconv_e6
 
         a = self.args
@@ -311,8 +310,8 @@ class MBConvBlock(nn.Module):
         interpret = jax.default_backend() == "cpu"
         if a.expand_ratio == 1:
             params, (m1, v1, m2, v2) = self._fused_params()
-            out, (mean1, var1, mean2, var2) = fused_mbconv_e1(
-                x, params, delta, _EPS, interpret
+            out, (mean1, var1, mean2, var2) = fused_mbconv_e6(
+                x, params, delta, vh, vw, _EPS, interpret
             )
             updates = [(m1, mean1), (v1, var1), (m2, mean2), (v2, var2)]
         else:
@@ -500,18 +499,14 @@ class EfficientNet(nn.Module):
             return t
 
         # kernel row-merges are reshapes only at 128-multiple widths; the CPU
-        # interpreter has no such constraint (tests run the e1 path there)
+        # interpreter has no such constraint (tests skip the W padding there)
         lane_free = jax.default_backend() == "cpu"
 
         def fused_ok(a_):
             if not (self.fused_mbconv and a_.kernel == 3 and a_.stride == 1):
                 return False
-            if a_.expand_ratio == 1:
-                # e=1 kernel: 8-row-tileable height, lane-aligned width (it has
-                # no valid_h/valid_w masking of its own)
-                return cur_h % 8 == 0 and (lane_free or cur_w % 128 == 0)
-            # expanding blocks (ops/mbconv6_pallas.py) take pad+mask dims; cap
-            # the expanded width so the deep stages (small maps, huge E,
+            # both block forms go through ops/mbconv6_pallas (pad+mask dims);
+            # cap the expanded width so the deep stages (small maps, huge E,
             # lane-dense in NHWC anyway) stay on the XLA path
             return a_.in_filters * a_.expand_ratio <= 256
 
@@ -528,20 +523,24 @@ class EfficientNet(nn.Module):
             if not use_fused and x_nchw:
                 x = unpacked(x)  # slices the run's pads off before NHWC
                 x_nchw, pad_hw = False, None
-            if use_fused and a.expand_ratio > 1:
+            if use_fused:
                 # pad H/W once per run of fused blocks (each block re-zeroes
                 # its pad region, so consecutive blocks chain without repadding)
                 wp = pick_w_pad(cur_w) if not lane_free else cur_w
-                hp = pick_h_pad(cur_h, a.in_filters * a.expand_ratio, wp)
+                hp = pick_h_pad(cur_h, a.in_filters * a.expand_ratio, wp,
+                                jnp.dtype(self.dtype).itemsize)
                 if (hp, wp) != (cur_h, cur_w):
                     if pad_hw is None:
                         x = jnp.pad(x, ((0, 0), (0, 0), (0, hp - cur_h),
                                         (0, wp - cur_w)))
+                    elif pad_hw != (hp, wp):  # adjacent blocks, different tiling
+                        x = x[:, :, :cur_h, :cur_w]
+                        x = jnp.pad(x, ((0, 0), (0, 0), (0, hp - cur_h),
+                                        (0, wp - cur_w)))
                     pad_hw = (hp, wp)
-            elif use_fused and pad_hw is not None:
-                # e=1 fused block after a padded run: drop the pads
-                x = x[:, :, :cur_h, :cur_w]
-                pad_hw = None
+                elif pad_hw is not None:
+                    x = x[:, :, :cur_h, :cur_w]
+                    pad_hw = None
             # fused blocks have a recompute-based custom VJP (saved residual = the
             # compact NCHW input) — remat around them would be redundant
             block_cls = remat_cls if (use_remat and not use_fused) else MBConvBlock

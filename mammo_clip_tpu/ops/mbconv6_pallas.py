@@ -72,6 +72,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mbconv_pallas import (
     BN_EPS,
+    MBConvParams,
     _channel_vecs,
     _csum,
     _depthwise,
@@ -126,14 +127,17 @@ def _row_mask(shape2d, i, h_tile, valid_h, row_offset, dtype=jnp.float32):
     and broadcast over the leading channel dim by the consuming op."""
     r = jax.lax.broadcasted_iota(jnp.int32, shape2d, 0)
     g = r + (i * h_tile - row_offset)
-    return jnp.where((g >= 0) & (g < valid_h),
-                     jnp.asarray(1, dtype), jnp.asarray(0, dtype))
+    # select in fp32, then narrow: Mosaic cannot relayout the i1 predicate from
+    # the 32-bit (8,128) tiling to bf16's packed (16,128) tiling directly
+    m = jnp.where((g >= 0) & (g < valid_h), 1.0, 0.0)
+    return m if dtype == jnp.float32 else m.astype(dtype)
 
 
 def _col_mask(shape2d, valid_w, dtype=jnp.float32):
     """(rows, cols) mask: 1 on columns [0, valid_w)."""
     c = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
-    return jnp.where(c < valid_w, jnp.asarray(1, dtype), jnp.asarray(0, dtype))
+    m = jnp.where(c < valid_w, 1.0, 0.0)
+    return m if dtype == jnp.float32 else m.astype(dtype)
 
 
 def _om(i, h_tile, W, valid_h, valid_w, dtype=jnp.float32, rows=None, off=0):
@@ -142,14 +146,20 @@ def _om(i, h_tile, W, valid_h, valid_w, dtype=jnp.float32, rows=None, off=0):
         _col_mask((rows, W), valid_w, dtype)
 
 
-def _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w):
-    """Expanded+activated w on a (C, rows, W) x tile -> (E, rows, W) in the
-    compute dtype cdt, masked so out-of-image rows/cols are exactly zero
-    (SAME-pad semantics: the padded x is zero there, but silu(bn0(0)) is not —
-    the mask restores the truth).
+def _w_tile(cdt, expand, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w):
+    """The depthwise input on a (C, rows, W) x tile.
+
+    expand=True: -> (E, rows, W) expanded+activated w in the compute dtype cdt,
+    masked so out-of-image rows/cols are exactly zero (SAME-pad semantics: the
+    padded x is zero there, but silu(bn0(0)) is not — the mask restores the
+    truth). expand=False (e=1 blocks): the depthwise consumes x directly, whose
+    pad region is zero by caller contract — no mask, no dot (we/bn0 refs are
+    host-side dummies).
 
     The row offset is the halo depth: fwd tiles carry 1 extra row each side,
     the B3/B4 tiles 2. Inferred from rows - h_tile."""
+    if not expand:
+        return xp
     rows, width = xp.shape[1], xp.shape[2]
     halo = (rows - h_tile) // 2
     z = _project(we, xp, out_dtype=cdt)  # (E, rows, W) — one row-merged MXU dot
@@ -178,13 +188,14 @@ def _p1_kernel(xm, sx_out, sxx_out):
     sxx_out[:, :] += _rowwise_ab(x, x)
 
 
-def _p2_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
+def _p2_kernel(cdt, expand, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
                m0, inv0, g0, b0, sums):
     """accumulate (E, 1, 2): [sum d, sum d^2] over the valid region (d stays
     fp32 here for the variance reduction)."""
     i = pl.program_id(1)
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles, cdt)
-    w = _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    w = _w_tile(cdt, expand, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h,
+                valid_w)
     d = _depthwise(w, k, h_tile, W)
     om = _om(i, h_tile, W, valid_h, valid_w)
 
@@ -196,12 +207,13 @@ def _p2_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
     sums[:, :, 1:2] += _csum(d * d * om)
 
 
-def _p3_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
+def _p3_kernel(cdt, expand, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, s_out):
     """per-image SE squeeze: s = sum over the valid region of v, (N, E)."""
     i = pl.program_id(1)
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles, cdt)
-    w = _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    w = _w_tile(cdt, expand, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h,
+                valid_w)
     d = _depthwise(w, k, h_tile, W).astype(cdt)
     v = _silu(_bnv(d, m1, inv1, g1, b1))
     om = _om(i, h_tile, W, valid_h, valid_w)
@@ -213,13 +225,14 @@ def _p3_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
     s_out[0] += _csum(v * om)
 
 
-def _p4_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
+def _p4_kernel(cdt, expand, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, r_y):
     """accumulate (C2, 1, 2): [sum y, sum y^2]; u is masked so y vanishes on the
     pad region and the reduction needs no further masking."""
     i = pl.program_id(1)
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles, cdt)
-    w = _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    w = _w_tile(cdt, expand, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h,
+                valid_w)
     d = _depthwise(w, k, h_tile, W).astype(cdt)
     v = _silu(_bnv(d, m1, inv1, g1, b1))
     om = _om(i, h_tile, W, valid_h, valid_w, cdt)
@@ -234,14 +247,15 @@ def _p4_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, k, we,
     r_y[:, :, 1:2] += _csum(y * y)
 
 
-def _p5_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb,
+def _p5_kernel(cdt, expand, n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb,
                k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp,
                m2, inv2, g2, b2, delta, out):
     """out = ([x +] delta * bn2(project(v * g))) * mask — ZERO pads out, so the
     next fused block's zero-pad input contract holds without re-padding."""
     i = pl.program_id(1)
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles, cdt)
-    w = _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    w = _w_tile(cdt, expand, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h,
+                valid_w)
     d = _depthwise(w, k, h_tile, W).astype(cdt)
     v = _silu(_bnv(d, m1, inv1, g1, b1))
     u = v * gate[0]
@@ -261,23 +275,24 @@ def _p5_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb,
 # --------------------------------------------------------------------------------
 
 
-def _recompute_to_v(cdt, xm, xt, xb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1,
+def _recompute_to_v(cdt, expand, xm, xt, xb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1,
                     i, n_tiles, h_tile, W, valid_h, valid_w):
     xp = _tile_with_halo(xm, xt, xb, i, n_tiles, cdt)
-    w = _w_tile(cdt, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    w = _w_tile(cdt, expand, xp, we, m0, inv0, g0, b0, i, h_tile, valid_h,
+                valid_w)
     d = _depthwise(w, k, h_tile, W).astype(cdt)
     dhat = _bnv(d, m1, inv1, g1, b1)
     return w, d, dhat, _silu(dhat)
 
 
-def _b1_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
+def _b1_kernel(cdt, expand, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2,
                delta, r2_out, t1_out, t2_out):
     """bn2-backward terms + the per-image SE bilinear matrices.
 
     r2_out (C2, 1, 2): [sum dyh, sum dyh*ybar]; t1/t2 (1, E, C2)."""
     i = pl.program_id(1)
-    _, _, _, v = _recompute_to_v(cdt, xm, xt, xb, k, we, m0, inv0, g0, b0,
+    _, _, _, v = _recompute_to_v(cdt, expand, xm, xt, xb, k, we, m0, inv0, g0, b0,
                                  m1, inv1, g1, b1, i, n_tiles, h_tile, W,
                                  valid_h, valid_w)
     om = _om(i, h_tile, W, valid_h, valid_w, cdt)
@@ -302,7 +317,7 @@ def _b1_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
     t2_out[0] += _rowwise_ab(v, ybar)
 
 
-def _b2_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
+def _b2_kernel(cdt, expand, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
                m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
                alpha2, beta2r, ds_hw, delta, r1_out, dwp_out, taps_out):
     """bn1-backward terms, dWp, and the 9-tap dK correlation sums.
@@ -312,7 +327,8 @@ def _b2_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
     taps_out (E, 1, 27): [sum_tap w, sum_tap w*dbar, sum_tap w*db1h] x 9 taps
     """
     i = pl.program_id(1)
-    w, d, dhat, v = _recompute_to_v(cdt, xm, xt, xb, k, we, m0, inv0, g0, b0,
+    w, d, dhat, v = _recompute_to_v(cdt, expand, xm, xt, xb, k, we, m0, inv0, g0,
+                                    b0,
                                     m1, inv1, g1, b1, i, n_tiles, h_tile, W,
                                     valid_h, valid_w)
     om = _om(i, h_tile, W, valid_h, valid_w, cdt)
@@ -345,13 +361,16 @@ def _b2_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, k, we,
             taps_out[:, :, j + 2: j + 3] += _csum(ws * db1h)
 
 
-def _chain_to_dz0hat(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm,
-                     gt, gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate,
-                     wp, m2, inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b, delta):
+def _chain_to_dz0hat(cdt, expand, n_tiles, h_tile, W, valid_h, valid_w, xm, xt,
+                     xb, gm, gt, gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1,
+                     gate, wp, m2, inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b,
+                     delta):
     """Shared B3/B4 recompute: x (2-row halos) -> dd on extended rows ->
-    dL/dw = corr(K~, dd) -> dz0hat on the main rows (masked to the valid
-    region). Returns (x_main_f32, zbar0 fp32, dz0hat fp32), each (·, hT, W);
-    the wide intermediate chain runs in the compute dtype cdt."""
+    dL/dw = corr(K~, dd); with expand, continue -> dz0hat on the main rows
+    (masked to the valid region). Returns (x_main_f32, zbar0 fp32, dz0hat fp32)
+    — for expand=False, zbar0 is None and the dz0hat slot carries the masked
+    dL/dx chain term (= corr) directly. The wide intermediate chain runs in the
+    compute dtype cdt."""
     i = pl.program_id(1)
     xmv = xm[0].astype(cdt)
     zc = jnp.asarray(0, cdt)
@@ -363,7 +382,8 @@ def _chain_to_dz0hat(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm,
     xfull = jnp.concatenate([rows_top, xmv, rows_bot], axis=1)  # (C, hT+4, W)
 
     # w on rows [-2, hT+2), masked to the valid image
-    w4 = _w_tile(cdt, xfull, we, m0, inv0, g0, b0, i, h_tile, valid_h, valid_w)
+    w4 = _w_tile(cdt, expand, xfull, we, m0, inv0, g0, b0, i, h_tile, valid_h,
+                 valid_w)
     # d on output rows [-1, hT+1); column shifts from an internal zero pad
     h_ext = h_tile + 2
     w4p = jnp.pad(w4, ((0, 0), (0, 0), (1, 1)))
@@ -406,7 +426,10 @@ def _chain_to_dz0hat(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm,
                            (2 - b): (2 - b) + W] * tap).astype(jnp.float32)
             dwact = term if dwact is None else dwact + term
     # w was force-zeroed outside the valid image — its gradient stops there
+    # (for expand=False, w IS x and corr is already dL/dx on the valid region)
     im = _om(i, h_tile, W, valid_h, valid_w)
+    if not expand:
+        return xmv.astype(jnp.float32), None, dwact * im
     z_main = _project(we, xmv)  # fp32: feeds the bn0-backward statistics
     m0f, inv0f = m0[:].astype(jnp.float32), inv0[:].astype(jnp.float32)
     zbar0 = (z_main - m0f) * inv0f
@@ -418,10 +441,11 @@ def _chain_to_dz0hat(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm,
 def _b3_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt,
                gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2,
                inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b, delta, rz_out, t3_out):
-    """bn0-backward terms and T3 = sum(x (x) dz0hat) for the analytic dWe."""
+    """bn0-backward terms and T3 = sum(x (x) dz0hat) for the analytic dWe
+    (expanding blocks only)."""
     xmv, zbar0, dz0hat = _chain_to_dz0hat(
-        cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt, gb, k,
-        we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
+        cdt, True, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt,
+        gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
         alpha2, beta2r, ds_hw, r1a, r1b, delta)
 
     @pl.when(_first_step())
@@ -434,20 +458,24 @@ def _b3_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt,
     t3_out[:, :] += _rowwise_ab(xmv, dz0hat)
 
 
-def _b4_kernel(cdt, n_tiles, h_tile, W, valid_h, valid_w, residual, xm, xt, xb,
-               gm, gt, gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp,
-               m2, inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b, alpha0, beta0r,
-               delta, dx_out):
-    """dx = ([G +] We dz) * mask with dz the exact bn0 backward; zero pads out
-    (the previous block's cotangent contract)."""
+def _b4_kernel(cdt, expand, n_tiles, h_tile, W, valid_h, valid_w, residual, xm,
+               xt, xb, gm, gt, gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1,
+               gate, wp, m2, inv2, g2, alpha2, beta2r, ds_hw, r1a, r1b, alpha0,
+               beta0r, delta, dx_out):
+    """dx = ([G +] We dz) * mask with dz the exact bn0 backward (expanding), or
+    dx = [G +] corr directly (e=1); zero pads out (the previous block's
+    cotangent contract)."""
     _, zbar0, dz0hat = _chain_to_dz0hat(
-        cdt, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt, gb, k,
-        we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
+        cdt, expand, n_tiles, h_tile, W, valid_h, valid_w, xm, xt, xb, gm, gt,
+        gb, k, we, m0, inv0, g0, b0, m1, inv1, g1, b1, gate, wp, m2, inv2, g2,
         alpha2, beta2r, ds_hw, r1a, r1b, delta)
-    g0f, inv0f = g0[:].astype(jnp.float32), inv0[:].astype(jnp.float32)
-    dz = ((g0f * inv0f) * dz0hat - alpha0[:].astype(jnp.float32)
-          - zbar0 * beta0r[:].astype(jnp.float32)).astype(cdt)
-    dx = _project(we, dz, transpose=True)  # (C, hT, W) fp32
+    if expand:
+        g0f, inv0f = g0[:].astype(jnp.float32), inv0[:].astype(jnp.float32)
+        dz = ((g0f * inv0f) * dz0hat - alpha0[:].astype(jnp.float32)
+              - zbar0 * beta0r[:].astype(jnp.float32)).astype(cdt)
+        dx = _project(we, dz, transpose=True)  # (C, hT, W) fp32
+    else:
+        dx = dz0hat  # already the masked chain term
     i = pl.program_id(1)
     om = _om(i, h_tile, W, valid_h, valid_w)
     if residual:
@@ -497,18 +525,25 @@ def pick_w_pad(w: int) -> int:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def fused_mbconv_e6(x, params: MBConv6Params, delta, valid_h: int, valid_w: int,
+def fused_mbconv_e6(x, params, delta, valid_h: int, valid_w: int,
                     eps: float = BN_EPS, interpret: bool = False):
     """x: (N, C, Hpad, Wpad) with the pad region ZERO (rows >= valid_h, cols >=
     valid_w); Hpad % 8 == 0. On TPU, Wpad must be a multiple of 128 (see
-    pick_w_pad); interpret mode accepts any width. Returns
-    (out (N, C2, Hpad, Wpad), (mean0, var0, mean1, var1, mean2, var2)) with the
-    pad region of out ZERO, so fused blocks chain without re-padding."""
+    pick_w_pad); interpret mode accepts any width.
+
+    params selects the block form: MBConv6Params runs the full expanding chain;
+    MBConvParams (ops/mbconv_pallas) runs the e=1 form (depthwise directly on
+    x — no expand conv / bn0, one fewer forward and backward pass).
+
+    Returns (out (N, C2, Hpad, Wpad), stats) with the pad region of out ZERO,
+    so fused blocks chain without re-padding; stats is (mean0, var0, mean1,
+    var1, mean2, var2) for expanding blocks, (mean1, var1, mean2, var2) for
+    e=1 blocks."""
     out, stats, _ = _forward(x, params, delta, valid_h, valid_w, eps, interpret)
     return out, stats
 
 
-def _common_specs(p: MBConv6Params, N, C, E, C2, W, cdt):
+def _common_specs(p, N, C, E, C2, W, cdt):
     wespec = pl.BlockSpec((C, E), lambda n, i: (0, 0), memory_space=pltpu.VMEM)
     wpspec = pl.BlockSpec((E, C2), lambda n, i: (0, 0), memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((E, 9, W), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM)
@@ -519,9 +554,10 @@ def _common_specs(p: MBConv6Params, N, C, E, C2, W, cdt):
     return wespec, wpspec, kspec, k, gate_spec, dspec
 
 
-def _forward(x, p: MBConv6Params, delta, valid_h, valid_w, eps, interpret):
+def _forward(x, p, delta, valid_h, valid_w, eps, interpret):
+    expand = isinstance(p, MBConv6Params)
     N, C, H, W = x.shape
-    E = p.we.shape[1]
+    E = p.we.shape[1] if expand else C
     C2 = p.wp.shape[1]
     residual = C2 == C
     assert 0 < valid_h <= H and 0 < valid_w <= W
@@ -532,40 +568,53 @@ def _forward(x, p: MBConv6Params, delta, valid_h, valid_w, eps, interpret):
     n = N * valid_h * valid_w
     wespec, wpspec, kspec, k, gate_spec, dspec = _common_specs(p, N, C, E, C2, W, cdt)
     # host-side analytics use the SAME rounded weights the kernels compute with
-    we = p.we.astype(cdt).astype(jnp.float32)
     wp = p.wp.astype(cdt).astype(jnp.float32)
-    we_k = we.astype(cdt)
     wp_k = wp.astype(cdt)
     vecE = _vec_spec(E, W)
     vecC2 = _vec_spec(C2, W)
 
-    # ---- P1: x moments -> bn0 stats analytically (z = x We)
-    sx, sxx = _grid_call(
-        _p1_kernel,
-        grid=grid,
-        in_specs=[halo[0]],
-        out_shape=(
-            jax.ShapeDtypeStruct((C, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((C, C), jnp.float32),
-        ),
-        out_specs=(
-            pl.BlockSpec((C, 1, 1), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(x)
-    sx_v = sx[:, 0, 0]  # (C,)
-    mean0 = sx_v @ we / n
-    ey2 = jnp.einsum("ce,cd,de->e", we, sxx, we) / n
-    var0 = jnp.maximum(ey2 - mean0 * mean0, 0.0)
-    inv0 = jax.lax.rsqrt(var0 + eps)
-    m0v, inv0v, g0v, b0v = _channel_vecs(W, mean0, inv0, p.gamma0, p.beta0,
-                                         dtype=cdt)
+    if expand:
+        we = p.we.astype(cdt).astype(jnp.float32)
+        we_k = we.astype(cdt)
+
+        # ---- P1: x moments -> bn0 stats analytically (z = x We)
+        sx, sxx = _grid_call(
+            _p1_kernel,
+            grid=grid,
+            in_specs=[halo[0]],
+            out_shape=(
+                jax.ShapeDtypeStruct((C, 1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((C, C), jnp.float32),
+            ),
+            out_specs=(
+                pl.BlockSpec((C, 1, 1), lambda n, i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, C), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(x)
+        sx_v = sx[:, 0, 0]  # (C,)
+        mean0 = sx_v @ we / n
+        ey2 = jnp.einsum("ce,cd,de->e", we, sxx, we) / n
+        var0 = jnp.maximum(ey2 - mean0 * mean0, 0.0)
+        inv0 = jax.lax.rsqrt(var0 + eps)
+        m0v, inv0v, g0v, b0v = _channel_vecs(W, mean0, inv0, p.gamma0, p.beta0,
+                                             dtype=cdt)
+    else:
+        # the e=1 form has no expand conv: the refs are never read in-kernel,
+        # but pallas needs real (tiny) operands
+        sx_v = jnp.zeros((C,), jnp.float32)
+        sxx = jnp.zeros((C, C), jnp.float32)
+        mean0 = var0 = jnp.zeros((E,), jnp.float32)
+        we_k = jnp.zeros((C, E), cdt)
+        zE = jnp.zeros((E,), jnp.float32)
+        m0v, inv0v, g0v, b0v = _channel_vecs(W, zE, zE, zE, zE, dtype=cdt)
     vecs0 = [m0v, inv0v, g0v, b0v]
 
     # ---- P2: bn1 stats
     sums = _grid_call(
-        functools.partial(_p2_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
+        functools.partial(_p2_kernel, cdt, expand, n_tiles, h_tile, W, valid_h,
+                          valid_w),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 4,
         out_shape=jax.ShapeDtypeStruct((E, 1, 2), jnp.float32),
@@ -582,7 +631,8 @@ def _forward(x, p: MBConv6Params, delta, valid_h, valid_w, eps, interpret):
 
     # ---- P3: SE squeeze
     s_sum = _grid_call(
-        functools.partial(_p3_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
+        functools.partial(_p3_kernel, cdt, expand, n_tiles, h_tile, W, valid_h,
+                          valid_w),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 8,
         out_shape=jax.ShapeDtypeStruct((N, E, 1, 1), jnp.float32),
@@ -600,7 +650,8 @@ def _forward(x, p: MBConv6Params, delta, valid_h, valid_w, eps, interpret):
 
     # ---- P4: bn2 stats (direct reduction — y is only C2 channels wide)
     r_y = _grid_call(
-        functools.partial(_p4_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
+        functools.partial(_p4_kernel, cdt, expand, n_tiles, h_tile, W, valid_h,
+                          valid_w),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 8 + [gate_spec, wpspec],
         out_shape=jax.ShapeDtypeStruct((C2, 1, 2), jnp.float32),
@@ -616,8 +667,8 @@ def _forward(x, p: MBConv6Params, delta, valid_h, valid_w, eps, interpret):
 
     # ---- P5: apply + write
     out = _grid_call(
-        functools.partial(_p5_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w,
-                          residual),
+        functools.partial(_p5_kernel, cdt, expand, n_tiles, h_tile, W, valid_h,
+                          valid_w, residual),
         grid=grid,
         in_specs=halo + [kspec, wespec] + [vecE] * 8 +
         [gate_spec, wpspec] + [vecC2] * 4 + [dspec],
@@ -630,7 +681,9 @@ def _forward(x, p: MBConv6Params, delta, valid_h, valid_w, eps, interpret):
 
     saved = (x, delta, sx_v, sxx, mean0, var0, mean1, var1, mean2, var2,
              s_mean, gate)
-    return out, (mean0, var0, mean1, var1, mean2, var2), saved
+    stats = (mean0, var0, mean1, var1, mean2, var2) if expand else \
+        (mean1, var1, mean2, var2)
+    return out, stats, saved
 
 
 def _fwd(x, params, delta, valid_h, valid_w, eps, interpret):
@@ -642,8 +695,9 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
     (x, delta, sx_v, sxx, mean0, var0, mean1, var1, mean2, var2,
      s_mean, gate), p = res
     g_out, _ = cot  # stats cotangent ignored (they feed running averages)
+    expand = isinstance(p, MBConv6Params)
     N, C, H, W = x.shape
-    E = p.we.shape[1]
+    E = p.we.shape[1] if expand else C
     C2 = p.wp.shape[1]
     residual = C2 == C
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
@@ -653,17 +707,22 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
     n = N * valid_h * valid_w
     hw = valid_h * valid_w
     wespec, wpspec, kspec, k, gate_spec, dspec = _common_specs(p, N, C, E, C2, W, cdt)
-    we = p.we.astype(cdt).astype(jnp.float32)
     wp = p.wp.astype(cdt).astype(jnp.float32)
-    we_k = we.astype(cdt)
     wp_k = wp.astype(cdt)
-    inv0 = jax.lax.rsqrt(var0 + eps)
     inv1 = jax.lax.rsqrt(var1 + eps)
     inv2 = jax.lax.rsqrt(var2 + eps)
     vecE = _vec_spec(E, W)
     vecC2 = _vec_spec(C2, W)
-    m0v, inv0v, g0v, b0v = _channel_vecs(W, mean0, inv0, p.gamma0, p.beta0,
-                                         dtype=cdt)
+    if expand:
+        we = p.we.astype(cdt).astype(jnp.float32)
+        we_k = we.astype(cdt)
+        inv0 = jax.lax.rsqrt(var0 + eps)
+        m0v, inv0v, g0v, b0v = _channel_vecs(W, mean0, inv0, p.gamma0, p.beta0,
+                                             dtype=cdt)
+    else:
+        we_k = jnp.zeros((C, E), cdt)
+        zE = jnp.zeros((E,), jnp.float32)
+        m0v, inv0v, g0v, b0v = _channel_vecs(W, zE, zE, zE, zE, dtype=cdt)
     vecs0 = [m0v, inv0v, g0v, b0v]
     m1v, inv1v, g1v, b1v = _channel_vecs(W, mean1, inv1, p.gamma1, p.beta1,
                                          dtype=cdt)
@@ -678,7 +737,8 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
 
     # ---- B1: bn2 backward terms + SE bilinear matrices
     r2, t1, t2 = _grid_call(
-        functools.partial(_b1_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
+        functools.partial(_b1_kernel, cdt, expand, n_tiles, h_tile, W, valid_h,
+                          valid_w),
         grid=grid,
         in_specs=halo + [gspec_main, kspec, wespec] + [vecE] * 8 +
         [gate_spec, wpspec, vecC2, vecC2, dspec],
@@ -726,7 +786,8 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
 
     # ---- B2: bn1 backward terms + dWp + dK taps
     r1, dwp, taps = _grid_call(
-        functools.partial(_b2_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
+        functools.partial(_b2_kernel, cdt, expand, n_tiles, h_tile, W, valid_h,
+                          valid_w),
         grid=grid,
         in_specs=halo + [gspec_main, kspec, wespec] + [vecE] * 8 +
         [gate_spec, wpspec, vecC2, vecC2, vecC2, vecC2, vecC2, gate_spec, dspec],
@@ -773,46 +834,52 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
                       memory_space=pltpu.VMEM)
     xm = halo[0]
 
-    # ---- B3: bn0 backward terms + T3
-    rz, t3 = _grid_call(
-        functools.partial(_b3_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w),
-        grid=grid,
-        in_specs=[xm, xt2, xb2, gspec_main, gt, gb, kspec, wespec] +
-        [vecE] * 8 + [gate_spec, wpspec, vecC2, vecC2, vecC2, vecC2, vecC2,
-                      gate_spec, vecE, vecE, dspec],
-        out_shape=(
-            jax.ShapeDtypeStruct((E, 1, 2), jnp.float32),
-            jax.ShapeDtypeStruct((C, E), jnp.float32),
-        ),
-        out_specs=(
-            pl.BlockSpec((E, 1, 2), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, E), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(x, x, x, g_out, g_out, g_out, k, we_k, *vecs0, *vecs1, gate_rows, wp_k,
-      m2v, inv2v, g2v, alpha2v, beta2v, ds_hw, r1av, r1bv, delta_rows)
+    # ---- B3: bn0 backward terms + T3 (expanding blocks only)
+    if expand:
+        rz, t3 = _grid_call(
+            functools.partial(_b3_kernel, cdt, n_tiles, h_tile, W, valid_h,
+                              valid_w),
+            grid=grid,
+            in_specs=[xm, xt2, xb2, gspec_main, gt, gb, kspec, wespec] +
+            [vecE] * 8 + [gate_spec, wpspec, vecC2, vecC2, vecC2, vecC2, vecC2,
+                          gate_spec, vecE, vecE, dspec],
+            out_shape=(
+                jax.ShapeDtypeStruct((E, 1, 2), jnp.float32),
+                jax.ShapeDtypeStruct((C, E), jnp.float32),
+            ),
+            out_specs=(
+                pl.BlockSpec((E, 1, 2), lambda n, i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, E), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(x, x, x, g_out, g_out, g_out, k, we_k, *vecs0, *vecs1, gate_rows, wp_k,
+          m2v, inv2v, g2v, alpha2v, beta2v, ds_hw, r1av, r1bv, delta_rows)
 
-    rz_0 = rz[:, 0, 0]
-    rz_1 = rz[:, 0, 1]
-    dgamma0 = rz_1
-    dbeta0 = rz_0
-    alpha0 = p.gamma0 * inv0 * rz_0 / n
-    beta0r = p.gamma0 * inv0 * rz_1 / n
-    # dWe analytically from T3 and the P1 moments:
-    #   dWe = T3 diag(g0 inv0) - sx (x) alpha0 - [sum x (x) zbar] diag(beta0r)
-    #   sum x (x) zbar = diag-scaled (S We - sx (x) mu0)
-    sxz = sxx @ we - sx_v[:, None] * mean0[None, :]  # sum x (x) (z - mu0)
-    dwe = (
-        t3 * (p.gamma0 * inv0)[None, :]
-        - sx_v[:, None] * alpha0[None, :]
-        - sxz * (inv0 * beta0r)[None, :]
-    )
+        rz_0 = rz[:, 0, 0]
+        rz_1 = rz[:, 0, 1]
+        dgamma0 = rz_1
+        dbeta0 = rz_0
+        alpha0 = p.gamma0 * inv0 * rz_0 / n
+        beta0r = p.gamma0 * inv0 * rz_1 / n
+        # dWe analytically from T3 and the P1 moments:
+        #   dWe = T3 diag(g0 inv0) - sx (x) alpha0 - [sum x (x) zbar] diag(beta0r)
+        #   sum x (x) zbar = diag-scaled (S We - sx (x) mu0)
+        sxz = sxx @ we - sx_v[:, None] * mean0[None, :]  # sum x (x) (z - mu0)
+        dwe = (
+            t3 * (p.gamma0 * inv0)[None, :]
+            - sx_v[:, None] * alpha0[None, :]
+            - sxz * (inv0 * beta0r)[None, :]
+        )
+
+    else:
+        alpha0 = beta0r = jnp.zeros((E,), jnp.float32)
     alpha0v, beta0rv = _channel_vecs(W, alpha0, beta0r)  # fp32: used in fp32 dz
 
     # ---- B4: dx
     dx = _grid_call(
-        functools.partial(_b4_kernel, cdt, n_tiles, h_tile, W, valid_h, valid_w,
-                          residual),
+        functools.partial(_b4_kernel, cdt, expand, n_tiles, h_tile, W, valid_h,
+                          valid_w, residual),
         grid=grid,
         in_specs=[xm, xt2, xb2, gspec_main, gt, gb, kspec, wespec] +
         [vecE] * 8 + [gate_spec, wpspec, vecC2, vecC2, vecC2, vecC2, vecC2,
@@ -825,10 +892,7 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
       m2v, inv2v, g2v, alpha2v, beta2v, ds_hw, r1av, r1bv, alpha0v, beta0rv,
       delta_rows)
 
-    dparams = MBConv6Params(
-        we=dwe.astype(p.we.dtype),
-        gamma0=dgamma0.astype(p.gamma0.dtype),
-        beta0=dbeta0.astype(p.beta0.dtype),
+    common = dict(
         dw_kernel=ddw.astype(p.dw_kernel.dtype),
         gamma1=dgamma1.astype(p.gamma1.dtype),
         beta1=dbeta1.astype(p.beta1.dtype),
@@ -840,6 +904,15 @@ def _bwd(valid_h, valid_w, eps, interpret, res, cot):
         gamma2=dgamma2.astype(p.gamma2.dtype),
         beta2=dbeta2.astype(p.beta2.dtype),
     )
+    if expand:
+        dparams = MBConv6Params(
+            we=dwe.astype(p.we.dtype),
+            gamma0=dgamma0.astype(p.gamma0.dtype),
+            beta0=dbeta0.astype(p.beta0.dtype),
+            **common,
+        )
+    else:
+        dparams = MBConvParams(**common)
     ddelta = jnp.zeros_like(delta)
     return dx, dparams, ddelta
 

@@ -80,10 +80,16 @@ class MBConvParams(NamedTuple):
 
 
 def _silu(x):
+    # Mosaic mis-lowers bf16 logistic (f32 constant broadcast into a bf16
+    # vector); compute the transcendental in fp32 and narrow back
+    if x.dtype != jnp.float32:
+        return _silu(x.astype(jnp.float32)).astype(x.dtype)
     return x * jax.nn.sigmoid(x)
 
 
 def _dsilu(x):
+    if x.dtype != jnp.float32:
+        return _dsilu(x.astype(jnp.float32)).astype(x.dtype)
     s = jax.nn.sigmoid(x)
     return s * (1.0 + x * (1.0 - s))
 
@@ -167,9 +173,10 @@ def _project(wp_ref, t, transpose=False, out_dtype=jnp.float32):
     y_cat = jax.lax.dot_general(
         wp_ref[:], _flatten_rows(t),
         dimension_numbers=(((lhs_c,), (0,)), ((), ())),
-        preferred_element_type=out_dtype,
+        # Mosaic requires a 32-bit matmul accumulator; narrow afterwards
+        preferred_element_type=jnp.float32,
     )
-    return y_cat.reshape(y_cat.shape[0], h, wdt)
+    return y_cat.astype(out_dtype).reshape(y_cat.shape[0], h, wdt)
 
 
 def _csum(t):

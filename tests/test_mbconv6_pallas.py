@@ -245,3 +245,58 @@ def test_fused_bf16_gradients_smoke():
         b = np.asarray(getattr(gr[1], name))
         reln = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-6)
         assert np.isfinite(reln) and reln < 0.15, (name, reln)
+
+
+def test_unified_kernel_e1_mode_matches_e1_reference():
+    """MBConvParams routes through the same kernel in e=1 form (no expand/bn0):
+    forward, stats, and every gradient match mbconv_e1_reference, with pad+mask
+    (H and W both padded)."""
+    from mammo_clip_tpu.ops.mbconv_pallas import MBConvParams, mbconv_e1_reference
+
+    c = 8
+    r = np.random.default_rng(11)
+
+    def f(*shape):
+        return jnp.asarray(r.standard_normal(shape) * 0.5, jnp.float32)
+
+    sq = max(1, c // 4)
+    p = MBConvParams(
+        dw_kernel=f(c, 3, 3),
+        gamma1=1.0 + 0.1 * f(c), beta1=0.1 * f(c),
+        se_w1=f(c, sq), se_b1=0.1 * f(sq),
+        se_w2=f(sq, c), se_b2=0.1 * f(c),
+        wp=f(c, c),
+        gamma2=1.0 + 0.1 * f(c), beta2=0.1 * f(c),
+    )
+    x = jnp.asarray(r.standard_normal((2, c, 44, 12)), jnp.float32)
+    delta = jnp.asarray([1.25, 0.0], jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 4), (0, 4)))  # 48 x 16
+    w_out = jnp.asarray(r.standard_normal((2, c, 44, 12)), jnp.float32)
+
+    out_ref, stats_ref = mbconv_e1_reference(x, p, delta)
+    out, stats = fused_mbconv_e6(xp, p, delta, 44, 12, 1e-3, True)
+    assert len(stats) == 4
+    np.testing.assert_allclose(np.asarray(out[:, :, :44, :12]),
+                               np.asarray(out_ref), rtol=2e-5, atol=2e-5)
+    assert float(jnp.abs(out[:, :, 44:]).max()) == 0.0
+    assert float(jnp.abs(out[:, :, :, 12:]).max()) == 0.0
+    for a, b in zip(stats, stats_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+    def loss_fused(x, p):
+        o, _ = fused_mbconv_e6(jnp.pad(x, ((0, 0), (0, 0), (0, 4), (0, 4))),
+                               p, delta, 44, 12, 1e-3, True)
+        return jnp.sum(o[:, :, :44, :12] * w_out)
+
+    def loss_ref(x, p):
+        o, _ = mbconv_e1_reference(x, p, delta)
+        return jnp.sum(o * w_out)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=1e-4)
+    for name in MBConvParams._fields:
+        np.testing.assert_allclose(np.asarray(getattr(gf[1], name)),
+                                   np.asarray(getattr(gr[1], name)),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
