@@ -63,11 +63,11 @@ def main() -> None:
     delta = jnp.ones((N,), jnp.float32)
     w_out = jnp.asarray(r.standard_normal((N, C, H, W)) * 0.01, jnp.bfloat16)
 
-    def loss_fused(x, p):
+    def loss_fused(x, p, w_out=w_out):
         out, _ = fused_mbconv_e1(x, p, delta, 1e-3, False)
         return jnp.sum((out * w_out).astype(jnp.float32))
 
-    def loss_ref(x, p):
+    def loss_ref(x, p, w_out=w_out):
         out, _ = mbconv_e1_reference(x, p, delta)
         return jnp.sum((out.astype(jnp.bfloat16) * w_out).astype(jnp.float32))
 

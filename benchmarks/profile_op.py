@@ -118,14 +118,17 @@ def main() -> None:
         w_out = jnp.asarray(r.standard_normal(x.shape) * 0.01, jnp.bfloat16)
         variables = block.init({"params": jax.random.PRNGKey(0)}, x, True)
 
-        def loss(x, params):
+        def loss(x, params, w_out):
+            # w_out must be an ARGUMENT: closed-over arrays become giant dense
+            # constants in the lowered module (538 MB at stage-1 shapes) and
+            # blow the remote compile helper's request size limit
             out, _ = block.apply(
                 {"params": params, "batch_stats": variables["batch_stats"]},
                 x, True, mutable=["batch_stats"])
             return jnp.sum((out * w_out).astype(jnp.float32))
 
         g = jax.jit(jax.value_and_grad(loss))
-        return lambda: g(x, variables["params"])[0]
+        return lambda: g(x, variables["params"], w_out)[0]
 
     def step_workload(fused: bool, batch: int = 8):
         """The full B5 pretraining step exactly as bench.py runs it."""

@@ -42,6 +42,15 @@ All recompute is MXU/VPU work on VMEM-resident tiles; every channel contraction
 is ONE long-K MXU dot over row-merged tiles (per-row dots pay a ~1 us fixed
 issue cost each and dominated the device time of the first kernel revision).
 
+MEASURED VERDICT on this pod's v5e (BASELINE.md round-2 kernel study): the
+traffic win does not convert into time — the phased recompute makes the kernel
+VPU-elementwise-bound (~60 full-tile vector ops per pass x 9 passes), and
+Mosaic's elementwise throughput here is several times below XLA's fused
+emitters, so the fused block runs slower end-to-end than the XLA path it
+replaces. It is kept as an OPT-IN capability (exact train-BN fusion with
+compact residuals; ``fused_mbconv`` defaults to False) and as the repo's
+documented map of this toolchain's Mosaic constraint surface.
+
 Alignment contract (why valid_h AND valid_w exist): row merges are plain
 reshapes only when the tile width is a multiple of the 128-lane tile, so the
 caller pads BOTH dimensions — H to a tile-height multiple, W to a multiple of
@@ -373,10 +382,9 @@ def _chain_to_dz0hat(cdt, expand, n_tiles, h_tile, W, valid_h, valid_w, xm, xt,
     compute dtype cdt."""
     i = pl.program_id(1)
     xmv = xm[0].astype(cdt)
-    zc = jnp.asarray(0, cdt)
-    oc = jnp.asarray(1, cdt)
-    top_m = jnp.where(i > 0, oc, zc)
-    bot_m = jnp.where(i < n_tiles - 1, oc, zc)
+    # scalar select in fp32 (bf16 arith.select fails to legalize), then narrow
+    top_m = jnp.where(i > 0, 1.0, 0.0).astype(cdt)
+    bot_m = jnp.where(i < n_tiles - 1, 1.0, 0.0).astype(cdt)
     rows_top = xt[0, :, 6:8, :].astype(cdt) * top_m
     rows_bot = xb[0, :, 0:2, :].astype(cdt) * bot_m
     xfull = jnp.concatenate([rows_top, xmv, rows_bot], axis=1)  # (C, hT+4, W)

@@ -107,10 +107,11 @@ def _tile_with_halo(xm_ref, xt_ref, xb_ref, i, n_tiles, dtype=jnp.float32):
     requires 8-row-aligned blocks) — the adjacent halo row is sliced out here and
     zero-masked at the image boundary."""
     xm = xm_ref[0].astype(dtype)
-    z = jnp.asarray(0, dtype)
-    o = jnp.asarray(1, dtype)
-    top = xt_ref[0, :, 7:8, :].astype(dtype) * jnp.where(i > 0, o, z)
-    bot = xb_ref[0, :, 0:1, :].astype(dtype) * jnp.where(i < n_tiles - 1, o, z)
+    # scalar select in fp32 (bf16 arith.select fails to legalize), then narrow
+    top_m = jnp.where(i > 0, 1.0, 0.0).astype(dtype)
+    bot_m = jnp.where(i < n_tiles - 1, 1.0, 0.0).astype(dtype)
+    top = xt_ref[0, :, 7:8, :].astype(dtype) * top_m
+    bot = xb_ref[0, :, 0:1, :].astype(dtype) * bot_m
     return jnp.concatenate([top, xm, bot], axis=1)  # (C, hT+2, W)
 
 
