@@ -109,8 +109,7 @@ def main() -> None:
                 x, k[:, None].transpose(2, 3, 1, 0), (1, 1), "SAME",
                 dimension_numbers=("NCHW", "HWIO", "NCHW"),
                 feature_group_count=x.shape[1],
-                preferred_element_type=_jnp.float32,
-            )
+            ).astype(_jnp.float32)
             mean1 = _jnp.mean(d, axis=(0, 2, 3))
             var1 = _jnp.maximum(_jnp.mean(d * d, axis=(0, 2, 3)) - mean1 ** 2, 0.0)
             dh = (d - mean1[:, None, None]) * jax.lax.rsqrt(var1 + 1e-3)[:, None, None]
@@ -119,8 +118,8 @@ def main() -> None:
             s = _jnp.mean(v, axis=(2, 3))
             gate, _ = _se_gate(s, p)
             u = (v * gate[:, :, None, None]).astype(_jnp.bfloat16)
-            y = _jnp.einsum("nchw,cd->ndhw", u, p.wp.astype(_jnp.bfloat16),
-                            preferred_element_type=_jnp.float32)
+            y = _jnp.einsum("nchw,cd->ndhw", u,
+                            p.wp.astype(_jnp.bfloat16)).astype(_jnp.float32)
             mean2 = _jnp.mean(y, axis=(0, 2, 3))
             var2 = _jnp.maximum(_jnp.mean(y * y, axis=(0, 2, 3)) - mean2 ** 2, 0.0)
             yh = (y - mean2[:, None, None]) * jax.lax.rsqrt(var2 + 1e-3)[:, None, None]

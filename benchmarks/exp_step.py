@@ -30,6 +30,9 @@ def main() -> None:
                     help="fused Pallas MBConv for the qualifying early-stage blocks")
     ap.add_argument("--tpu-opt", action="store_true",
                     help="tpu_optimized encoder variant (space-to-depth front end)")
+    ap.add_argument("--s2d", action="store_true",
+                    help="exact space-to-depth EXECUTION of the standard encoder "
+                    "(same function/params, 4x lane-denser early stages)")
     ap.add_argument("--compile-only", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--group", type=int, default=5)
@@ -69,6 +72,8 @@ def main() -> None:
         cfg.model.image_encoder.fused_mbconv = True
     if args.tpu_opt:
         cfg.model.image_encoder.tpu_optimized = True
+    if args.s2d:
+        cfg.model.image_encoder.s2d_exec = True
     B = args.batch
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
@@ -125,6 +130,8 @@ def main() -> None:
         "batch": B,
         "remat": args.remat,
         "packed": args.packed,
+        "s2d": args.s2d,
+        "tpu_opt": args.tpu_opt,
         "compile_s": round(compile_s, 1),
         **mem,
     }

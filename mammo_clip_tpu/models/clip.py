@@ -107,6 +107,7 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
         remat_max_reduction=config.get("remat_max_reduction", 16),
         packed_residuals=config.get("packed_residuals", False),
         fused_mbconv=config.get("fused_mbconv", False),
+        s2d_exec=config.get("s2d_exec", False),
         tpu_optimized=config.get("tpu_optimized", False),
         pooling=config.get("pooling", "avg"),
         dtype=dtype,

@@ -235,6 +235,9 @@ class MBConvBlock(nn.Module):
     fused_valid_hw: Tuple[int, int] = ()  # (valid_h, valid_w) when the NCHW
     #   input arrives zero-padded for the fused run (tile-height / 128-lane
     #   alignment); the kernel masks the pad region and zeroes it on output
+    s2d_nhwc: bool = False  # input arrives space-to-depth'd (N,H/2,W/2,4C),
+    #   channel-major — execute the SAME block math 4x lane-denser
+    #   (ops/s2d_exec.py); stride-2 blocks consume the layout (base-res output)
 
     def _fused_params(self):
         from ..ops.mbconv_pallas import MBConvParams
@@ -332,7 +335,100 @@ class MBConvBlock(nn.Module):
         if self.fused_nchw:
             assert a.kernel == 3 and a.stride == 1
             return self._fused_call(x, train)
+        if self.s2d_nhwc:
+            assert a.kernel == 3
+            return self._s2d_call(x, train)
         return self._flax_call(x, train)
+
+    def _bn_s2d(self, t, name: str, train: bool, phases: bool):
+        """BatchNorm with nn.BatchNorm's exact semantics over the s2d layout
+        (``phases``: stats fold the 4 phases of each original channel)."""
+        from ..ops.s2d_exec import phase_broadcast, phase_stats
+
+        features = t.shape[-1] // (4 if phases else 1)
+        scale, bias, mean_v, var_v = _MirrorBN(features, name=name)()
+        if train:
+            if phases:
+                mean, var = phase_stats(t)
+            else:
+                tf32 = t.astype(jnp.float32)
+                mean = jnp.mean(tf32, axis=(0, 1, 2))
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(tf32), axis=(0, 1, 2)) - jnp.square(mean),
+                    0.0)
+            if not self.is_initializing():
+                m = BN_MOMENTUM
+                mean_v.value = m * mean_v.value + (1 - m) * mean
+                var_v.value = m * var_v.value + (1 - m) * var
+        else:
+            mean, var = mean_v.value, var_v.value
+        inv = jax.lax.rsqrt(var + BN_EPS) * scale
+        shift = bias - mean * inv
+        if phases:
+            inv, shift = phase_broadcast(inv), phase_broadcast(shift)
+        return (t * inv.astype(self.dtype) + shift.astype(self.dtype)).astype(
+            self.dtype)
+
+    def _s2d_call(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """Execute the block over the space-to-depth layout (exact math, 4x
+        lane-denser tensors — see ops/s2d_exec.py). Input (N, H/2, W/2, 4*Cin);
+        output s2d for stride-1 blocks, base-resolution NHWC for stride-2."""
+        from ..ops.s2d_exec import (
+            dw_kernel_s2d,
+            dw_kernel_s2d_stride2,
+            grouped_dw_s2d,
+            phase_broadcast,
+            phase_mix_1x1,
+            phase_spatial_mean,
+        )
+
+        a = self.args
+        inputs = x
+        expanded = a.in_filters * a.expand_ratio
+        if a.expand_ratio != 1:
+            we, _ = _MirrorConv((1, 1, a.in_filters, expanded),
+                                name="expand_conv")()
+            x = phase_mix_1x1(x, we.astype(self.dtype)[0, 0])
+            x = self._bn_s2d(x, "bn0", train, phases=True)
+            x = jax.nn.silu(x)
+        dw, _ = _MirrorConv((a.kernel, a.kernel, 1, expanded),
+                            name="depthwise_conv")()
+        dw = dw.astype(self.dtype)
+        if a.stride == 1:
+            x = grouped_dw_s2d(x, dw_kernel_s2d(dw), stride1=True)
+            s2d_out = True
+        else:
+            x = grouped_dw_s2d(x, dw_kernel_s2d_stride2(dw), stride1=False)
+            s2d_out = False  # stride-2 output lands at base resolution
+        x = self._bn_s2d(x, "bn1", train, phases=s2d_out)
+        x = jax.nn.silu(x)
+        if 0.0 < a.se_ratio <= 1.0:
+            sq = max(1, int(a.in_filters * a.se_ratio))
+            w1, b1, w2, b2 = _MirrorSE(expanded, sq, name="se")()
+            if s2d_out:
+                s = phase_spatial_mean(x)  # (N, E) over space AND phases
+            else:
+                s = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+            s = s.astype(self.dtype)
+            g = jax.nn.silu(s @ w1[0, 0].astype(self.dtype) + b1.astype(self.dtype))
+            g = jax.nn.sigmoid(g @ w2[0, 0].astype(self.dtype) + b2.astype(self.dtype))
+            if s2d_out:
+                g = jnp.repeat(g, 4, axis=-1)  # per-channel gate across phases
+            x = x * g[:, None, None, :]
+        wp, _ = _MirrorConv((1, 1, expanded, a.out_filters),
+                            name="project_conv")()
+        wpk = wp.astype(self.dtype)[0, 0]
+        if s2d_out:
+            x = phase_mix_1x1(x, wpk)
+        else:
+            x = jnp.einsum("nhwe,ec->nhwc", x, wpk)
+        x = self._bn_s2d(x, "bn2", train, phases=s2d_out)
+        if a.stride == 1 and a.in_filters == a.out_filters:
+            if train and self.drop_rate > 0.0:
+                x = drop_connect(x, self.make_rng("stochastic"), self.drop_rate,
+                                 deterministic=False)
+            x = x + inputs
+        return x
 
     def _flax_call(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         a = self.args
@@ -400,6 +496,13 @@ class EfficientNet(nn.Module):
     #   s=1) through the fused Pallas megakernel in NCHW (ops/mbconv_pallas.py):
     #   ~4-6x less HBM traffic on the stage-1 blocks that dominate the step.
     #   Checkpoint-identical params; exact train-BN semantics; Flax path for eval.
+    #   Measured slower than XLA on this toolchain (BASELINE.md) — opt-in only.
+    s2d_exec: bool = False  # execute k=3 blocks over a space-to-depth(2)
+    #   layout (ops/s2d_exec.py): the SAME network function with the SAME
+    #   parameters, but every early-stage tensor is 4x lane-denser, cutting the
+    #   padded HBM traffic that dominates the step (BASELINE.md round-2
+    #   profile). Checkpoint-compatible; stride-2 blocks naturally exit the
+    #   layout and the next k=3 stage re-enters it.
     tpu_optimized: bool = False  # OPT-IN, trains from scratch, NOT checkpoint-
     #   compatible with the reference: replaces stem + stages 1-2 (the narrow-
     #   channel feature maps whose bf16 lane padding wastes up to 5.3x HBM bytes
@@ -487,7 +590,10 @@ class EfficientNet(nn.Module):
         x_packed = False
 
         x_nchw = False
+        x_s2d = False  # NHWC space-to-depth layout (s2d_exec runs)
         pad_hw = None  # (hpad, wpad) while x carries the fused run's zero pads
+        assert not (self.s2d_exec and (self.fused_mbconv or self.packed_residuals)), \
+            "s2d_exec is its own layout regime"
 
         def unpacked(t):
             if x_packed:
@@ -496,6 +602,10 @@ class EfficientNet(nn.Module):
                 if pad_hw is not None:
                     t = t[:, :, :cur_h, :cur_w]
                 return jnp.transpose(t, (0, 2, 3, 1))
+            if x_s2d:
+                from ..ops.s2d_exec import depth_to_space
+
+                return depth_to_space(t)
             return t
 
         # kernel row-merges are reshapes only at 128-multiple widths; the CPU
@@ -512,11 +622,25 @@ class EfficientNet(nn.Module):
 
         from ..ops.mbconv6_pallas import pick_h_pad, pick_w_pad
 
+        def s2d_ok(a_):
+            # any k3 block with even dims; stride-2 consumes the layout
+            return (self.s2d_exec and a_.kernel == 3
+                    and cur_h % 2 == 0 and cur_w % 2 == 0)
+
         for idx0, a in enumerate(args):
             idx = idx0 + block_offset  # original numbering (stable deep-block names)
             rate = self.drop_connect_rate * idx / n_blocks
             use_remat = self.remat and scale <= self.remat_max_reduction
             use_fused = fused_ok(a)
+            use_s2d = s2d_ok(a)
+            if use_s2d and not x_s2d:
+                from ..ops.s2d_exec import space_to_depth
+
+                x = space_to_depth(x)
+                x_s2d = True
+            if not use_s2d and x_s2d:
+                x = unpacked(x)
+                x_s2d = False
             if use_fused and not x_nchw:
                 x = jnp.transpose(unpacked(x), (0, 3, 1, 2))
                 x_packed, x_nchw = False, True
@@ -548,10 +672,11 @@ class EfficientNet(nn.Module):
             # dim is actually padded (C % 128 != 0)
             want_packed_out = (
                 self.packed_residuals and use_remat and not use_fused
-                and a.out_filters % 128 != 0 and not x_nchw
+                and a.out_filters % 128 != 0 and not x_nchw and not x_s2d
             )
             if (self.packed_residuals and use_remat and not use_fused
-                    and not x_packed and not x_nchw and cur_c % 128 != 0):
+                    and not x_packed and not x_nchw and not x_s2d
+                    and cur_c % 128 != 0):
                 x = x.reshape(x.shape[0], cur_h, cur_w * cur_c)
                 x_packed = True
             # train passed positionally: nn.remat static_argnums counts positional args
@@ -563,8 +688,11 @@ class EfficientNet(nn.Module):
                 packed_out=want_packed_out,
                 fused_nchw=x_nchw,
                 fused_valid_hw=(cur_h, cur_w) if pad_hw is not None else (),
+                s2d_nhwc=x_s2d,
                 name=f"block_{idx}",
             )(x, train)
+            if x_s2d and a.stride > 1:
+                x_s2d = False  # the stride-2 block emitted base-resolution NHWC
             scale *= a.stride
             cur_h = -(-cur_h // a.stride)  # SAME padding: ceil division
             cur_w = -(-cur_w // a.stride)
@@ -578,7 +706,7 @@ class EfficientNet(nn.Module):
                 taps.append(unpacked(x))
             prev = unpacked(x)
         x = unpacked(x)
-        x_nchw = False
+        x_nchw = x_s2d = False
 
         x = nn.Conv(head_filters(self.variant), (1, 1), use_bias=False, dtype=self.dtype, name="head_conv")(x)
         x = jax.nn.silu(bn("head_bn")(x))
