@@ -336,7 +336,7 @@ class MBConvBlock(nn.Module):
             assert a.kernel == 3 and a.stride == 1
             return self._fused_call(x, train)
         if self.s2d_nhwc:
-            assert a.kernel == 3
+            assert a.kernel in (3, 5)
             return self._s2d_call(x, train)
         return self._flax_call(x, train)
 
@@ -398,7 +398,8 @@ class MBConvBlock(nn.Module):
             x = grouped_dw_s2d(x, dw_kernel_s2d(dw), stride1=True)
             s2d_out = True
         else:
-            x = grouped_dw_s2d(x, dw_kernel_s2d_stride2(dw), stride1=False)
+            k2, pad = dw_kernel_s2d_stride2(dw)
+            x = grouped_dw_s2d(x, k2, stride1=False, pad=pad)
             s2d_out = False  # stride-2 output lands at base resolution
         x = self._bn_s2d(x, "bn1", train, phases=s2d_out)
         x = jax.nn.silu(x)
@@ -623,8 +624,8 @@ class EfficientNet(nn.Module):
         from ..ops.mbconv6_pallas import pick_h_pad, pick_w_pad
 
         def s2d_ok(a_):
-            # any k3 block with even dims; stride-2 consumes the layout
-            return (self.s2d_exec and a_.kernel == 3
+            # any k3/k5 block with even dims; stride-2 consumes the layout
+            return (self.s2d_exec and a_.kernel in (3, 5)
                     and cur_h % 2 == 0 and cur_w % 2 == 0)
 
         for idx0, a in enumerate(args):

@@ -57,57 +57,79 @@ def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def dw_kernel_s2d(k: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise HWIO (3,3,1,C) -> the grouped base-conv kernel (3,3,4,4C)
-    (stride-1 case; groups=C, SAME pad 1 at base resolution).
+    """Depthwise HWIO (kk,kk,1,C), kk in {3,5} -> the grouped base-conv kernel
+    (3,3,4,4C) (stride-1 case; groups=C, SAME pad 1 at base resolution —
+    a kk<=5 window spans at most 3 base pixels whatever the output phase).
 
     Built by scattering each original tap into its (base offset, input phase,
     output phase) slot; the scatter pattern is static so it lowers to a
     constant-index add at trace time."""
-    c = k.shape[-1]
+    kk, c = k.shape[0], k.shape[-1]
+    assert kk in (3, 5), kk
+    off = (kk - 1) // 2
     out = jnp.zeros((3, 3, 4, 4 * c), k.dtype)
     for pr in range(2):
         for pc in range(2):
-            for a in range(3):
-                for b in range(3):
-                    qr, ir = divmod(pr + a - 1, 2)
-                    qc, ic = divmod(pc + b - 1, 2)
+            for a in range(kk):
+                for b in range(kk):
+                    qr, ir = divmod(pr + a - off, 2)
+                    qc, ic = divmod(pc + b - off, 2)
                     out = out.at[qr + 1, qc + 1, ir * 2 + ic,
                                  jnp.arange(c) * 4 + pr * 2 + pc].add(
                         k[a, b, 0, :])
     return out
 
 
-def dw_kernel_s2d_stride2(k: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise HWIO (3,3,1,C) -> grouped base-conv kernel (2,2,4,C) for the
-    stride-2 case (padding ((0,1),(0,1)); output leaves the s2d layout)."""
-    c = k.shape[-1]
-    out = jnp.zeros((2, 2, 4, c), k.dtype)
-    for a in range(3):
-        for b in range(3):
-            qr, ir = divmod(a, 2)   # input row 2R + a: base R+qr, phase ir
-            qc, ic = divmod(b, 2)
-            out = out.at[qr, qc, ir * 2 + ic, :].add(k[a, b, 0, :])
-    return out
+def dw_kernel_s2d_stride2(k: jnp.ndarray):
+    """Depthwise HWIO (kk,kk,1,C), kk in {3,5} -> (kernel, padding) of the
+    grouped base conv for the stride-2 case (output leaves the s2d layout).
+
+    TF-SAME at stride 2 on even dims pads (0,1) for kk=3 and (1,2) for kk=5;
+    in base coordinates that is a (2,2) kernel with ((0,1),(0,1)) padding and
+    a (3,3) kernel with ((1,1),(1,1)) padding respectively."""
+    kk, c = k.shape[0], k.shape[-1]
+    assert kk in (3, 5), kk
+    pad_top = 0 if kk == 3 else 1
+    kb = 2 if kk == 3 else 3
+    out = jnp.zeros((kb, kb, 4, c), k.dtype)
+    for a in range(kk):
+        for b in range(kk):
+            qr, ir = divmod(a - pad_top, 2)  # input row 2R + a - pad_top
+            qc, ic = divmod(b - pad_top, 2)
+            q0 = 0 if kk == 3 else 1
+            out = out.at[qr + q0, qc + q0, ir * 2 + ic, :].add(k[a, b, 0, :])
+    pad = ((0, 1), (0, 1)) if kk == 3 else ((1, 1), (1, 1))
+    return out, pad
 
 
 def phase_mix_1x1(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Per-phase 1x1 conv on the s2d tensor: x (..., 4*Cin) [c-major],
-    w (Cin, Cout) -> (..., 4*Cout). Exactly the original 1x1 conv."""
-    n, hp, wp, c4 = x.shape
-    cin = c4 // 4
-    t = x.reshape(n, hp, wp, cin, 4)
-    y = jnp.einsum("nhwcp,cd->nhwdp", t, w)
-    return y.reshape(n, hp, wp, -1)
+    w (Cin, Cout) -> (..., 4*Cout). Exactly the original 1x1 conv.
+
+    Implemented as ONE dense (4Cin, 4Cout) matmul with a block-diagonal
+    (kron with I4) weight: a rank-5 phase-split view makes XLA pick
+    catastrophic layouts for the big intermediate (observed: batch dim in
+    lanes -> 16x padded HBM allocation); the kron zeros only cost MXU FLOPs."""
+    wb = jnp.einsum("cd,pq->cpdq", w, jnp.eye(4, dtype=w.dtype))
+    wb = wb.reshape(w.shape[0] * 4, w.shape[1] * 4)
+    return jnp.einsum("nhwk,kl->nhwl", x, wb)
 
 
 def phase_stats(x: jnp.ndarray, batch: bool = True):
     """Mean/var per ORIGINAL channel: reduce over space and the 4 phases
-    (and batch when ``batch``). x (..., 4C) c-major -> ((C,), (C,))."""
-    n, hp, wp, c4 = x.shape
-    t = x.reshape(n, hp, wp, c4 // 4, 4).astype(jnp.float32)
-    axes = (0, 1, 2, 4) if batch else (1, 2, 4)
-    mean = jnp.mean(t, axis=axes)
-    var = jnp.mean(jnp.square(t), axis=axes) - jnp.square(mean)
+    (and batch when ``batch``). x (..., 4C) c-major -> ((C,), (C,)).
+
+    The big tensor is reduced at rank 4 (over N,H,W) FIRST; the tiny phase
+    fold happens on the (4C,) vectors (rank-5 views of the full tensor are
+    layout hazards — see phase_mix_1x1)."""
+    assert batch
+    xf = x.astype(jnp.float32)
+    c4 = x.shape[-1]
+    cnt = x.shape[0] * x.shape[1] * x.shape[2] * 4
+    s1 = jnp.sum(xf, axis=(0, 1, 2)).reshape(c4 // 4, 4).sum(-1)
+    s2 = jnp.sum(jnp.square(xf), axis=(0, 1, 2)).reshape(c4 // 4, 4).sum(-1)
+    mean = s1 / cnt
+    var = s2 / cnt - jnp.square(mean)
     return mean, jnp.maximum(var, 0.0)
 
 
@@ -119,26 +141,24 @@ def phase_broadcast(v: jnp.ndarray) -> jnp.ndarray:
 def phase_spatial_mean(x: jnp.ndarray) -> jnp.ndarray:
     """SE squeeze: per-image per-original-channel spatial mean. -> (N, C)."""
     n, hp, wp, c4 = x.shape
-    t = x.reshape(n, hp, wp, c4 // 4, 4)
-    return jnp.mean(t.astype(jnp.float32), axis=(1, 2, 4))
+    s = jnp.sum(x.astype(jnp.float32), axis=(1, 2))  # (N, 4C), rank-4 reduce
+    return s.reshape(n, c4 // 4, 4).sum(-1) / (hp * wp * 4)
 
 
-def grouped_dw_s2d(x: jnp.ndarray, k_s2d: jnp.ndarray, stride1: bool) -> jnp.ndarray:
+def grouped_dw_s2d(x: jnp.ndarray, k_s2d: jnp.ndarray, stride1: bool,
+                   pad=None) -> jnp.ndarray:
     """Apply the transformed depthwise kernel on the s2d tensor.
 
     stride1: kernel (3,3,4,4C), SAME pad 1, output stays s2d (..., 4C).
-    stride2: kernel (2,2,4,C), pad ((0,1),(0,1)), output at base resolution
-    (..., C) — the s2d layout is consumed."""
+    stride2: kernel (kb,kb,4,C) with the padding returned by
+    dw_kernel_s2d_stride2, output at base resolution (..., C) — the s2d
+    layout is consumed."""
     c4 = x.shape[-1]
     groups = c4 // 4
     if stride1:
-        return jax.lax.conv_general_dilated(
-            x, k_s2d, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=groups,
-        )
+        pad = ((1, 1), (1, 1))
     return jax.lax.conv_general_dilated(
-        x, k_s2d, (1, 1), ((0, 1), (0, 1)),
+        x, k_s2d, (1, 1), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )

@@ -47,8 +47,8 @@ def test_s2d_depthwise_stride2_exact():
     ref = jax.lax.conv_general_dilated(
         x, k, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c)
-    out = grouped_dw_s2d(space_to_depth(x), dw_kernel_s2d_stride2(k),
-                         stride1=False)
+    k2, pad = dw_kernel_s2d_stride2(k)
+    out = grouped_dw_s2d(space_to_depth(x), k2, stride1=False, pad=pad)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
@@ -104,3 +104,25 @@ def test_efficientnet_s2d_exec_matches_standard():
     o2 = jax.jit(lambda v, x: m_s2d.apply(v, x, False))(v, x)
     np.testing.assert_allclose(np.asarray(o1["pooled"]), np.asarray(o2["pooled"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_s2d_depthwise_k5_exact():
+    """k=5 stride-1 and stride-2 cases (stages 3/5/6 kernels)."""
+    r = np.random.default_rng(4)
+    c = 5
+    x = jnp.asarray(r.standard_normal((2, 12, 16, c)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((5, 5, 1, c)), jnp.float32)
+    ref1 = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+    out1 = depth_to_space(grouped_dw_s2d(space_to_depth(x), dw_kernel_s2d(k),
+                                         stride1=True))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                               rtol=1e-5, atol=1e-5)
+    ref2 = jax.lax.conv_general_dilated(
+        x, k, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+    k2, pad = dw_kernel_s2d_stride2(k)
+    out2 = grouped_dw_s2d(space_to_depth(x), k2, stride1=False, pad=pad)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
