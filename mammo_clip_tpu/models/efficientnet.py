@@ -374,9 +374,7 @@ class MBConvBlock(nn.Module):
         lane-denser tensors — see ops/s2d_exec.py). Input (N, H/2, W/2, 4*Cin);
         output s2d for stride-1 blocks, base-resolution NHWC for stride-2."""
         from ..ops.s2d_exec import (
-            dw_kernel_s2d,
-            dw_kernel_s2d_stride2,
-            grouped_dw_s2d,
+            dw_kernel_s2d_dense,
             phase_broadcast,
             phase_mix_1x1,
             phase_spatial_mean,
@@ -394,12 +392,25 @@ class MBConvBlock(nn.Module):
         dw, _ = _MirrorConv((a.kernel, a.kernel, 1, expanded),
                             name="depthwise_conv")()
         dw = dw.astype(self.dtype)
+        # XLA's in_per_group=4 grouped conv mis-lays-out a rank-5 intermediate
+        # (see dw_kernel_s2d_dense): narrow blocks use the dense-embedded base
+        # conv; wide (expanded) blocks sandwich the standard depthwise between
+        # depth_to_space / space_to_depth — their tensors are lane-dense anyway
         if a.stride == 1:
-            x = grouped_dw_s2d(x, dw_kernel_s2d(dw), stride1=True)
+            assert 4 * expanded <= 128, "wide stride-1 blocks don't use s2d"
+            x = jax.lax.conv_general_dilated(
+                x, dw_kernel_s2d_dense(dw), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
             s2d_out = True
         else:
-            k2, pad = dw_kernel_s2d_stride2(dw)
-            x = grouped_dw_s2d(x, k2, stride1=False, pad=pad)
+            from ..ops.s2d_exec import depth_to_space
+
+            xf = depth_to_space(x)
+            xf = jax.lax.conv_general_dilated(
+                xf, dw, (a.stride, a.stride), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=expanded)
+            x = xf
             s2d_out = False  # stride-2 output lands at base resolution
         x = self._bn_s2d(x, "bn1", train, phases=s2d_out)
         x = jax.nn.silu(x)
@@ -624,9 +635,17 @@ class EfficientNet(nn.Module):
         from ..ops.mbconv6_pallas import pick_h_pad, pick_w_pad
 
         def s2d_ok(a_):
-            # any k3/k5 block with even dims; stride-2 consumes the layout
-            return (self.s2d_exec and a_.kernel in (3, 5)
-                    and cur_h % 2 == 0 and cur_w % 2 == 0)
+            # where the byte-count wins (see ops/s2d_exec.py): narrow stride-1
+            # blocks (dense-embedded depthwise, 4*E <= 128) and stride-2
+            # entries (expand/bn/silu run lane-dense, the depthwise exits the
+            # layout one-way). Wide stride-1 blocks would need a d2s/s2d
+            # sandwich around the depthwise that costs more than the narrow-
+            # I/O savings — excluded.
+            if not (self.s2d_exec and a_.kernel in (3, 5)
+                    and cur_h % 2 == 0 and cur_w % 2 == 0):
+                return False
+            return (a_.stride == 2
+                    or 4 * a_.in_filters * a_.expand_ratio <= 128)
 
         for idx0, a in enumerate(args):
             idx = idx0 + block_offset  # original numbering (stable deep-block names)

@@ -162,3 +162,22 @@ def grouped_dw_s2d(x: jnp.ndarray, k_s2d: jnp.ndarray, stride1: bool,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
+
+
+def dw_kernel_s2d_dense(k: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 depthwise as a DENSE (3,3,4C,4C) base conv with structured
+    zeros (the grouped form embedded on the block diagonal).
+
+    XLA's grouped-conv lowering for in_per_group=4 creates a rank-5 reshape
+    whose layout puts a singleton in lanes (observed: 128x-padded 25 GB
+    allocation). A dense conv takes the standard, well-laid-out path; the
+    zero taps cost only MXU FLOPs, affordable while 4C <= ~128 (the e=1
+    stage-1 blocks — exactly the narrow ones s2d is for)."""
+    g = dw_kernel_s2d(k)  # (3,3,4,4C)
+    c4 = g.shape[-1]
+    dense = jnp.zeros((3, 3, c4, c4), k.dtype)
+    for p_in in range(4):
+        for c in range(c4 // 4):
+            dense = dense.at[:, :, 4 * c + p_in, 4 * c: 4 * c + 4].set(
+                g[:, :, p_in, 4 * c: 4 * c + 4])
+    return dense
