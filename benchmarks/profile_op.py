@@ -130,7 +130,7 @@ def main() -> None:
         g = jax.jit(jax.value_and_grad(loss))
         return lambda: g(x, variables["params"], w_out)[0]
 
-    def step_workload(fused: bool, batch: int = 8):
+    def step_workload(fused: bool, batch: int = 8, tpu_opt: bool = False):
         """The full B5 pretraining step exactly as bench.py runs it."""
         jax.config.update("jax_default_prng_impl", "unsafe_rbg")
         from mammo_clip_tpu.core.config import default_pretrain_config
@@ -143,8 +143,9 @@ def main() -> None:
         )
 
         cfg = default_pretrain_config("b5")
-        cfg.model.image_encoder.remat = True
+        cfg.model.image_encoder.remat = not tpu_opt
         cfg.model.image_encoder.fused_mbconv = fused
+        cfg.model.image_encoder.tpu_optimized = tpu_opt
         h, w = cfg.data.image_size_h, cfg.data.image_size_w
         seq = cfg.data.text_max_length
         model = build_model(cfg.model.to_dict(), dtype=jnp.bfloat16)
@@ -195,6 +196,8 @@ def main() -> None:
         fn = step_workload(fused=False)
     elif args.workload == "step_fused":
         fn = step_workload(fused=True)
+    elif args.workload == "step_tpu_native":
+        fn = step_workload(fused=False, tpu_opt=True)
     else:
         raise SystemExit(f"unknown workload {args.workload}")
 
