@@ -175,3 +175,48 @@ def test_checkpoint_roundtrip_with_sharded_state(tmp_path):
     # restored state keeps working in the sharded step
     state9, ld = step_fn(restored, batch8, jax.random.PRNGKey(1))
     assert np.isfinite(float(ld["total"]))
+
+
+def test_train_step_tpu_native_recipe():
+    """The flagship bench recipe (tpu_optimized space-to-depth front end,
+    bench.py default) trains: two steps, finite decreasing-ish loss, params
+    update. Guards the bench path end-to-end on the CPU mesh."""
+    import numpy as np
+
+    from mammo_clip_tpu.core.config import tiny_test_config
+    from mammo_clip_tpu.losses import build_loss
+    from mammo_clip_tpu.models import build_model
+    from mammo_clip_tpu.train import (
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+        warmup_cosine_sq_schedule,
+    )
+
+    cfg = tiny_test_config()
+    cfg.model.image_encoder.tpu_optimized = True
+    model = build_model(cfg.model.to_dict())
+    loss_fn = build_loss(cfg.loss.to_dict())
+    tx = build_optimizer(cfg.optimizer.to_dict(),
+                         warmup_cosine_sq_schedule(cfg.optimizer.lr, 100, 0))
+    rng = np.random.default_rng(0)
+    h, w, s = cfg.data.image_size_h, cfg.data.image_size_w, cfg.data.text_max_length
+    ids = rng.integers(1, cfg.model.text_encoder.vocab_size, size=(4, s),
+                       dtype=np.int32)
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((4, h, w, 1)), jnp.float32),
+        "image_views": jnp.asarray(rng.standard_normal((4, h, w, 1)), jnp.float32),
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((4, s), jnp.int32),
+        "input_ids2": jnp.asarray(ids),
+        "attention_mask2": jnp.ones((4, s), jnp.int32),
+    }
+    state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
+    step = make_train_step(model, loss_fn, donate=False)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, l1 = step(state, batch, jax.random.PRNGKey(1))
+    state, l2 = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(l1["total"])) and np.isfinite(float(l2["total"]))
+    assert float(l2["total"]) < float(l1["total"]) + 1.0  # sane, not diverging
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert float(jnp.abs(p1 - p0).max()) > 0.0
