@@ -60,4 +60,12 @@ def build_optimizer(
     clip = config.get("grad_clip_norm")
     if clip:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    accum = int(config.get("grad_accum_steps", 1) or 1)
+    if accum > 1:
+        # large-batch parity on few chips (a knob the reference lacks — its
+        # effective batch is fixed at 4/GPU x world size): average gradients
+        # over k micro-steps and apply once. Clipping happens on the AVERAGED
+        # gradient (inside the wrapped tx), matching what a true large batch
+        # would do.
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx

@@ -220,3 +220,34 @@ def test_train_step_tpu_native_recipe():
     assert float(l2["total"]) < float(l1["total"]) + 1.0  # sane, not diverging
     p1 = jax.tree_util.tree_leaves(state.params)[0]
     assert float(jnp.abs(p1 - p0).max()) > 0.0
+
+
+def test_grad_accumulation_matches_averaged_gradients():
+    """grad_accum_steps=k: no update for k-1 micro-steps, then one update from
+    the AVERAGED gradient — large-batch parity on few chips."""
+    import numpy as np
+    import optax
+
+    from mammo_clip_tpu.train.optim import build_optimizer
+
+    tx_acc = build_optimizer({"name": "sgd", "weight_decay": 0.0, "momentum": 0.0,
+                              "grad_accum_steps": 2}, lambda s: 0.1)
+    tx_ref = build_optimizer({"name": "sgd", "weight_decay": 0.0, "momentum": 0.0},
+                             lambda s: 0.1)
+    params = {"w": jnp.asarray([1.0, 2.0, 3.0])}
+    g1 = {"w": jnp.asarray([1.0, 0.0, -1.0])}
+    g2 = {"w": jnp.asarray([3.0, 2.0, 1.0])}
+
+    s = tx_acc.init(params)
+    u1, s = tx_acc.update(g1, s, params)
+    p_mid = optax.apply_updates(params, u1)
+    np.testing.assert_allclose(np.asarray(p_mid["w"]), np.asarray(params["w"]))
+    u2, s = tx_acc.update(g2, s, p_mid)
+    p_acc = optax.apply_updates(p_mid, u2)
+
+    g_avg = {"w": (g1["w"] + g2["w"]) / 2}
+    sr = tx_ref.init(params)
+    ur, _ = tx_ref.update(g_avg, sr, params)
+    p_ref = optax.apply_updates(params, ur)
+    np.testing.assert_allclose(np.asarray(p_acc["w"]), np.asarray(p_ref["w"]),
+                               rtol=1e-6)
