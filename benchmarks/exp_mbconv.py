@@ -43,8 +43,12 @@ def main() -> None:
 
     from mammo_clip_tpu.ops.mbconv_pallas import (
         MBConvParams,
-        fused_mbconv_e1,
         mbconv_e1_reference,
+    )
+    from mammo_clip_tpu.ops.mbconv6_pallas import (
+        fused_mbconv_e6,
+        pick_h_pad,
+        pick_w_pad,
     )
 
     N, C, H, W = args.views, args.c, args.h, args.w
@@ -63,9 +67,15 @@ def main() -> None:
     delta = jnp.ones((N,), jnp.float32)
     w_out = jnp.asarray(r.standard_normal((N, C, H, W)) * 0.01, jnp.bfloat16)
 
+    WP = pick_w_pad(W)
+    HP = pick_h_pad(H, C, WP)
+
     def loss_fused(x, p, w_out=w_out):
-        out, _ = fused_mbconv_e1(x, p, delta, 1e-3, False)
-        return jnp.sum((out * w_out).astype(jnp.float32))
+        # unified masked kernel (e=1 form): pad to the lane/tile alignment it
+        # requires, slice the valid region back for the loss
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
+        out, _ = fused_mbconv_e6(xp, p, delta, H, W, 1e-3, False)
+        return jnp.sum((out[:, :, :H, :W] * w_out).astype(jnp.float32))
 
     def loss_ref(x, p, w_out=w_out):
         out, _ = mbconv_e1_reference(x, p, delta)

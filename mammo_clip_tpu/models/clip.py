@@ -177,14 +177,28 @@ class MammoCLIP(nn.Module):
         image_views, input_ids2/attention_mask2 for the multi-positive loss."""
         out = {
             "image_embeddings": self.embed_image(batch["images"], train=train),
-            "text_embeddings": self.embed_text(
-                batch["input_ids"], batch["attention_mask"], train=train
-            ),
             "logit_scale": jnp.exp(self.logit_scale),
         }
         if "input_ids2" in batch and "image_views" in batch:
-            out["text_embeddings2"] = self.embed_text(
-                batch["input_ids2"], batch["attention_mask2"], train=train
+            # ONE BERT invocation for both texts (concat along batch): exact —
+            # no op in the text tower crosses the batch — and 2x the matmul
+            # batch amortizes the per-call overheads. The IMAGE towers stay
+            # separate on purpose: BatchNorm batch statistics over a joint
+            # 2N-view batch would change the training semantics vs the
+            # reference (one forward per view set, trainer_ddp.py:277-300).
+            n = batch["input_ids"].shape[0]
+            both = self.embed_text(
+                jnp.concatenate([batch["input_ids"], batch["input_ids2"]], 0),
+                jnp.concatenate([batch["attention_mask"],
+                                 batch["attention_mask2"]], 0),
+                train=train,
             )
-            out["image_view_embeddings"] = self.embed_image(batch["image_views"], train=train)
+            out["text_embeddings"] = both[:n]
+            out["text_embeddings2"] = both[n:]
+            out["image_view_embeddings"] = self.embed_image(
+                batch["image_views"], train=train)
+        else:
+            out["text_embeddings"] = self.embed_text(
+                batch["input_ids"], batch["attention_mask"], train=train
+            )
         return out

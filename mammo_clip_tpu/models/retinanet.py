@@ -21,7 +21,7 @@ of the reference's data-dependent torchvision path (detector_model.py:331-354).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

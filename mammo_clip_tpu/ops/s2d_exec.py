@@ -32,7 +32,6 @@ match the standard path to float round-off (tests/test_s2d_exec.py).
 
 from __future__ import annotations
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

@@ -251,3 +251,39 @@ def test_grad_accumulation_matches_averaged_gradients():
     p_ref = optax.apply_updates(params, ur)
     np.testing.assert_allclose(np.asarray(p_acc["w"]), np.asarray(p_ref["w"]),
                                rtol=1e-6)
+
+
+def test_batched_text_encoding_matches_separate():
+    """The single-BERT-invocation forward (both texts concatenated) equals two
+    separate encodings exactly — no op in the text tower crosses the batch."""
+    import numpy as np
+
+    from mammo_clip_tpu.core.config import tiny_test_config
+    from mammo_clip_tpu.models import build_model
+
+    cfg = tiny_test_config()
+    model = build_model(cfg.model.to_dict())
+    rng = np.random.default_rng(0)
+    h, w, s = cfg.data.image_size_h, cfg.data.image_size_w, cfg.data.text_max_length
+    v = cfg.model.text_encoder.vocab_size
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((3, h, w, 1)), jnp.float32),
+        "image_views": jnp.asarray(rng.standard_normal((3, h, w, 1)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(1, v, (3, s)), jnp.int32),
+        "attention_mask": jnp.ones((3, s), jnp.int32),
+        "input_ids2": jnp.asarray(rng.integers(1, v, (3, s)), jnp.int32),
+        "attention_mask2": jnp.ones((3, s), jnp.int32),
+    }
+    variables = jax.jit(lambda b: model.init({"params": jax.random.PRNGKey(0)},
+                                             b, train=False))(batch)
+    out = jax.jit(lambda v_, b: model.apply(v_, b, train=False))(variables, batch)
+    t1 = jax.jit(lambda v_, b: model.apply(
+        v_, b["input_ids"], b["attention_mask"], train=False,
+        method=model.embed_text))(variables, batch)
+    t2 = jax.jit(lambda v_, b: model.apply(
+        v_, b["input_ids2"], b["attention_mask2"], train=False,
+        method=model.embed_text))(variables, batch)
+    np.testing.assert_allclose(np.asarray(out["text_embeddings"]),
+                               np.asarray(t1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["text_embeddings2"]),
+                               np.asarray(t2), rtol=1e-5, atol=1e-6)
