@@ -49,6 +49,8 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "step": state.step,
     }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = state.ema_params
     with _manager(directory, max_to_keep) as mgr:
         mgr.save(step, args=ocp.args.StandardSave(payload))
         mgr.wait_until_finished()
@@ -86,12 +88,15 @@ def restore_checkpoint(directory: str, template_state, step: Optional[int] = Non
             "opt_state": template_state.opt_state,
             "step": template_state.step,
         }
+        if getattr(template_state, "ema_params", None) is not None:
+            template["ema_params"] = template_state.ema_params
         restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     state = template_state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
         step=restored["step"],
+        ema_params=restored.get("ema_params", getattr(template_state, "ema_params", None)),
     )
     config = None
     cfg_path = os.path.join(directory, str(step), "config.json")

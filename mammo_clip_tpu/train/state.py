@@ -22,16 +22,30 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    ema_params: Any = None  # exponential moving average of params (production
+    #   pretraining stabilizer the reference lacks); None = disabled
+    ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads, new_batch_stats=None) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if self.ema_params is not None:
+            d = self.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, self.ema_params, new_params)
         return self.replace(
             step=self.step + 1,
             params=new_params,
             opt_state=new_opt_state,
             batch_stats=new_batch_stats if new_batch_stats is not None else self.batch_stats,
+            ema_params=new_ema,
         )
+
+    def eval_variables(self, use_ema: bool = True):
+        """Variables for evaluation: EMA weights when tracked, else current."""
+        p = self.ema_params if (use_ema and self.ema_params is not None) else self.params
+        return {"params": p, "batch_stats": self.batch_stats}
 
 
 def create_train_state(
@@ -40,8 +54,11 @@ def create_train_state(
     tx: optax.GradientTransformation,
     rng: jax.Array,
     train: bool = False,
+    ema_decay: float = 0.0,
 ) -> TrainState:
-    """Initialize model variables from an example batch and wrap them in a TrainState."""
+    """Initialize model variables from an example batch and wrap them in a
+    TrainState. ``ema_decay > 0`` additionally tracks an exponential moving
+    average of the parameters (evaluate via ``state.eval_variables()``)."""
     init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1),
                  "stochastic": jax.random.fold_in(rng, 2)}
     # jitted init: one compiled program instead of hundreds of eager op dispatches
@@ -55,5 +72,7 @@ def create_train_state(
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema_decay > 0 else None,
+        ema_decay=ema_decay,
         tx=tx,
     )

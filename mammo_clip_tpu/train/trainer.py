@@ -100,7 +100,10 @@ class Trainer:
         warmup = cfg.scheduler.warmup_epochs * steps_per_epoch
         schedule = warmup_cosine_sq_schedule(cfg.optimizer.lr, total, warmup)
         tx = build_optimizer(cfg.optimizer.to_dict(), schedule)
-        state = create_train_state(self.model, example_batch, tx, jax.random.PRNGKey(cfg.seed))
+        state = create_train_state(
+            self.model, example_batch, tx, jax.random.PRNGKey(cfg.seed),
+            ema_decay=cfg.optimizer.get("ema_decay", 0.0),
+        )
         return state, tx
 
     def fit(

@@ -1,0 +1,44 @@
+"""AOT serving export (utils/export.py): StableHLO roundtrip with baked params
+matches the live model, and the artifact carries its serving manifest."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_serving_export_roundtrip(tmp_path):
+    from mammo_clip_tpu.core.config import tiny_test_config
+    from mammo_clip_tpu.models import build_model
+    from mammo_clip_tpu.utils.export import ServingModule, export_clip_serving
+
+    cfg = tiny_test_config()
+    model = build_model(cfg.model.to_dict())
+    rng = np.random.default_rng(0)
+    h, w, s = cfg.data.image_size_h, cfg.data.image_size_w, cfg.data.text_max_length
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((2, h, w, 1)), jnp.float32),
+        "input_ids": jnp.asarray(
+            rng.integers(1, cfg.model.text_encoder.vocab_size, (2, s)), jnp.int32),
+        "attention_mask": jnp.ones((2, s), jnp.int32),
+    }
+    variables = jax.jit(lambda b: model.init({"params": jax.random.PRNGKey(0)},
+                                             b, train=False))(batch)
+
+    out_dir = str(tmp_path / "serving")
+    files = export_clip_serving(model, variables, (h, w), s, batch=2,
+                                out_dir=out_dir)
+    assert set(files) == {"image_fn", "text_fn", "manifest"}
+
+    srv = ServingModule(out_dir)
+    assert srv.manifest["embedding_dim"] == cfg.model.projection_head.proj_dim
+
+    img_ref = model.apply(variables, batch["images"], train=False,
+                          method=model.embed_image)
+    txt_ref = model.apply(variables, batch["input_ids"],
+                          batch["attention_mask"], train=False,
+                          method=model.embed_text)
+    np.testing.assert_allclose(np.asarray(srv.embed_images(batch["images"])),
+                               np.asarray(img_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(srv.embed_texts(batch["input_ids"], batch["attention_mask"])),
+        np.asarray(txt_ref), rtol=1e-5, atol=1e-6)

@@ -287,3 +287,63 @@ def test_batched_text_encoding_matches_separate():
                                np.asarray(t1), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out["text_embeddings2"]),
                                np.asarray(t2), rtol=1e-5, atol=1e-6)
+
+
+def test_ema_params_track_and_checkpoint():
+    """ema_decay tracks an EMA of params through apply_gradients, eval_variables
+    serves it, and the checkpoint roundtrips the EMA leaves."""
+    import numpy as np
+
+    from mammo_clip_tpu.core.config import tiny_test_config
+    from mammo_clip_tpu.losses import build_loss
+    from mammo_clip_tpu.models import build_model
+    from mammo_clip_tpu.train import (
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+        warmup_cosine_sq_schedule,
+    )
+
+    cfg = tiny_test_config()
+    model = build_model(cfg.model.to_dict())
+    loss_fn = build_loss(cfg.loss.to_dict())
+    tx = build_optimizer(cfg.optimizer.to_dict(),
+                         warmup_cosine_sq_schedule(cfg.optimizer.lr, 100, 0))
+    rng = np.random.default_rng(0)
+    h, w, s = cfg.data.image_size_h, cfg.data.image_size_w, cfg.data.text_max_length
+    ids = rng.integers(1, cfg.model.text_encoder.vocab_size, size=(2, s),
+                       dtype=np.int32)
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((2, h, w, 1)), jnp.float32),
+        "image_views": jnp.asarray(rng.standard_normal((2, h, w, 1)), jnp.float32),
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((2, s), jnp.int32),
+        "input_ids2": jnp.asarray(ids),
+        "attention_mask2": jnp.ones((2, s), jnp.int32),
+    }
+    state = create_train_state(model, batch, tx, jax.random.PRNGKey(0),
+                               ema_decay=0.5)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    step = make_train_step(model, loss_fn, donate=False)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    e1 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(e1), 0.5 * np.asarray(p0)
+                               + 0.5 * np.asarray(p1), rtol=1e-5, atol=1e-7)
+    ev = state.eval_variables()
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(ev["params"])[0]), np.asarray(e1))
+
+    # checkpoint roundtrip preserves the EMA leaves
+    import tempfile
+
+    from mammo_clip_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(d, state, config=cfg.to_dict(), max_to_keep=1)
+        fresh = create_train_state(model, batch, tx, jax.random.PRNGKey(7),
+                                   ema_decay=0.5)
+        restored = restore_checkpoint(d, fresh)[0] if isinstance(
+            restore_checkpoint(d, fresh), tuple) else restore_checkpoint(d, fresh)
+        r1 = jax.tree_util.tree_leaves(restored.ema_params)[0]
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(e1))
