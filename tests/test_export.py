@@ -42,3 +42,43 @@ def test_serving_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(srv.embed_texts(batch["input_ids"], batch["attention_mask"])),
         np.asarray(txt_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_export_cli_from_checkpoint(tmp_path):
+    """checkpoint dir -> CLI -> loadable serving artifacts."""
+    import json
+
+    from mammo_clip_tpu.core.config import tiny_test_config
+    from mammo_clip_tpu.models import build_model
+    from mammo_clip_tpu.train import (
+        build_optimizer,
+        create_train_state,
+        warmup_cosine_sq_schedule,
+    )
+    from mammo_clip_tpu.train.checkpoint import save_checkpoint
+    from mammo_clip_tpu.utils.export import ServingModule
+
+    cfg = tiny_test_config()
+    model = build_model(cfg.model.to_dict())
+    rng = np.random.default_rng(0)
+    h, w, s = cfg.data.image_size_h, cfg.data.image_size_w, cfg.data.text_max_length
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((2, h, w, 1)), jnp.float32),
+        "input_ids": jnp.asarray(
+            rng.integers(1, cfg.model.text_encoder.vocab_size, (2, s)), jnp.int32),
+        "attention_mask": jnp.ones((2, s), jnp.int32),
+    }
+    tx = build_optimizer(cfg.optimizer.to_dict(),
+                         warmup_cosine_sq_schedule(cfg.optimizer.lr, 10, 0))
+    state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, config=cfg.to_dict(), max_to_keep=1)
+
+    from mammo_clip_tpu.cli import export as export_cli
+
+    out = str(tmp_path / "serving")
+    export_cli.main(["--checkpoint", ckpt, "--out", out, "--batch", "2"])
+    srv = ServingModule(out)
+    emb = srv.embed_images(batch["images"])
+    assert emb.shape == (2, cfg.model.projection_head.proj_dim)
+    assert np.all(np.isfinite(np.asarray(emb)))
