@@ -27,6 +27,8 @@ from ..eval.retrieval import eval_image_text_retrieval
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--ema", action="store_true",
+                    help="evaluate the EMA weights (optimizer.ema_decay checkpoints)")
     ap.add_argument("--csv", required=True)
     ap.add_argument("--image-dir", required=True)
     ap.add_argument("--split", default="valid")
@@ -34,7 +36,7 @@ def main(argv=None) -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
-    model, variables, cfg = load_clip_for_eval(args.checkpoint)
+    model, variables, cfg = load_clip_for_eval(args.checkpoint, use_ema=args.ema)
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     extractor = EmbeddingExtractor(model, variables, cfg.data.mean, cfg.data.std,
                                    batch_size=args.batch_size)

@@ -36,6 +36,8 @@ LABEL_COLUMNS = {
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--ema", action="store_true",
+                    help="evaluate the EMA weights (optimizer.ema_decay checkpoints)")
     ap.add_argument("--csv", required=True)
     ap.add_argument("--image-dir", required=True)
     ap.add_argument("--image-col", default="image_id")
@@ -45,7 +47,7 @@ def main(argv=None) -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
-    model, variables, cfg = load_clip_for_eval(args.checkpoint)
+    model, variables, cfg = load_clip_for_eval(args.checkpoint, use_ema=args.ema)
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     extractor = EmbeddingExtractor(
         model, variables, cfg.data.mean, cfg.data.std, batch_size=args.batch_size

@@ -50,8 +50,14 @@ def _reference_config_to_ours(ref_cfg: Dict) -> Config:
     return cfg
 
 
-def load_clip_for_eval(path: str, dtype: Any = jnp.float32) -> Tuple[Any, Dict, Config]:
-    """Returns (MammoCLIP model, {'params','batch_stats'}, config)."""
+def load_clip_for_eval(path: str, dtype: Any = jnp.float32,
+                       use_ema: bool = False) -> Tuple[Any, Dict, Config]:
+    """Returns (MammoCLIP model, {'params','batch_stats'}, config).
+
+    ``use_ema=True`` serves the exponential-moving-average weights when the
+    checkpoint carries them (train with ``optimizer.ema_decay``); errors if
+    requested but absent (silently evaluating the raw weights would be a
+    quality-reporting hazard). Torch ``.tar`` imports never carry EMA."""
     if path.endswith(".tar") or path.endswith(".pt") or path.endswith(".pth"):
         from ..convert.torch_import import convert_clip_checkpoint
 
@@ -75,5 +81,11 @@ def load_clip_for_eval(path: str, dtype: Any = jnp.float32) -> Tuple[Any, Dict, 
     with open(cfg_path) as f:
         cfg = Config.from_json(f.read())
     model = build_model(cfg.model.to_dict(), dtype=dtype)
-    variables = {"params": restored["params"], "batch_stats": restored.get("batch_stats", {})}
+    params = restored["params"]
+    if use_ema:
+        assert "ema_params" in restored, (
+            f"use_ema requested but checkpoint at {root} has no ema_params "
+            "(train with optimizer.ema_decay > 0)")
+        params = restored["ema_params"]
+    variables = {"params": params, "batch_stats": restored.get("batch_stats", {})}
     return model, variables, cfg
