@@ -1,0 +1,61 @@
+"""Param/FLOP accounting: flagship `tpu_optimized` recipe vs reference-exact B5.
+
+Quantifies the capacity delta behind the bench's flagship number (VERDICT r2 #1):
+the flagship replaces stem + stages 1-2 with a space-to-depth front end, so its
+parameter count and forward FLOPs differ from the checkpoint-compatible B5.
+Prints a table; results are recorded in BASELINE.md.
+
+Run on the CPU backend (no TPU needed):
+    PYTHONPATH= JAX_PLATFORMS=cpu python benchmarks/count_params_flops.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.models.efficientnet import EfficientNet
+
+    H, W = 1520, 912
+
+    def analyze(name, **kwargs):
+        model = EfficientNet(variant="b5", in_channels=1, dtype=jnp.bfloat16,
+                             **kwargs)
+        import numpy as np
+
+        x = jnp.zeros((1, H, W, 1), jnp.float32)
+        variables = jax.eval_shape(
+            lambda: model.init({"params": jax.random.PRNGKey(0)}, x, train=False))
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(variables["params"]))
+
+        def fwd(v, x):
+            return model.apply(v, x, train=False)["pooled"]
+
+        lowered = jax.jit(fwd).lower(
+            variables, jax.ShapeDtypeStruct(x.shape, x.dtype))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+        print(f"{name:32s} params {n_params/1e6:8.2f} M   fwd {flops/1e9:8.1f} GFLOP")
+        return n_params, flops
+
+    print(f"image tower @ {H}x{W}, bs=1, bf16 activations", file=sys.stderr)
+    base = analyze("reference-exact B5")
+    r2 = analyze("flagship r2 (s2d front only)", tpu_optimized=True,
+                 tpu_dense_widths=False)
+    flag = analyze("flagship r3 (+dense widths)", tpu_optimized=True)
+    for name, row in (("r2 / compat", r2), ("r3 / compat", flag)):
+        print(f"{name:32s} params {row[0]/base[0]:8.3f}     "
+              f"fwd {row[1]/base[1]:8.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,12 @@ def main() -> None:
                     help="fused Pallas MBConv for the qualifying early-stage blocks")
     ap.add_argument("--tpu-opt", action="store_true",
                     help="tpu_optimized encoder variant (space-to-depth front end)")
+    ap.add_argument("--no-dense-widths", action="store_true",
+                    help="with --tpu-opt: keep the r2 deep-stage widths "
+                    "(reproduces the round-2 flagship exactly)")
+    ap.add_argument("--remat-max", type=int, default=None,
+                    help="override remat_max_reduction (selective remat scale "
+                    "cutoff; probe for the compat-path recompute-traffic study)")
     ap.add_argument("--s2d", action="store_true",
                     help="exact space-to-depth EXECUTION of the standard encoder "
                     "(same function/params, 4x lane-denser early stages)")
@@ -72,8 +78,12 @@ def main() -> None:
         cfg.model.image_encoder.fused_mbconv = True
     if args.tpu_opt:
         cfg.model.image_encoder.tpu_optimized = True
+        if args.no_dense_widths:
+            cfg.model.image_encoder.tpu_dense_widths = False
     if args.s2d:
         cfg.model.image_encoder.s2d_exec = True
+    if args.remat_max is not None:
+        cfg.model.image_encoder.remat_max_reduction = args.remat_max
     B = args.batch
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length

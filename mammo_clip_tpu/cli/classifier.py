@@ -62,6 +62,8 @@ def main(argv=None) -> None:
     ap.add_argument("--data-frac", type=float, default=1.0)
     ap.add_argument("--num-classes", type=int, default=1)
     ap.add_argument("--weighted-bce", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from workdir/checkpoints")
     ap.add_argument("--workdir", default="outputs/classifier")
     args = ap.parse_args(argv)
 
@@ -110,6 +112,7 @@ def main(argv=None) -> None:
         workdir=args.workdir,
         config=Config({"clip": clip_cfg.to_dict(), "label": args.label, "arch": args.arch}).to_dict(),
         aggregate=aggregate,
+        resume=args.resume,
     )
     print(json.dumps(res))
 

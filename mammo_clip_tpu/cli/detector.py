@@ -72,6 +72,9 @@ def main(argv=None) -> None:
                     "the detector at each scale and merge candidates in ONE NMS")
     ap.add_argument("--soft-nms", action="store_true",
                     help="gaussian soft-NMS at eval (score decay instead of kill)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from workdir/checkpoints (the 120-epoch recipe "
+                    "is preemption-exposed without it)")
     ap.add_argument("--workdir", default="outputs/detector")
     args = ap.parse_args(argv)
 
@@ -144,7 +147,19 @@ def main(argv=None) -> None:
             }
 
     best_map = -1.0
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    if args.resume:
+        from ..train.checkpoint import latest_step, restore_checkpoint
+
+        ckpt_dir = f"{args.workdir}/checkpoints"
+        if latest_step(ckpt_dir) is not None:
+            state, _, meta = restore_checkpoint(ckpt_dir, state)
+            state = jax.tree_util.tree_map(
+                lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, state)
+            start_epoch = int(meta.get("epoch", 0))
+            best_map = float(meta.get("best_mAP", -1.0))
+            print(f"resumed detector at epoch {start_epoch} (best mAP {best_map:.4f})")
+    for epoch in range(start_epoch, args.epochs):
         for batch in batches(train_tab, args.batch_size, True, seed=epoch):
             state, ld = train_step(
                 state,
@@ -155,7 +170,8 @@ def main(argv=None) -> None:
         for batch in batches(valid_tab, args.batch_size, False):
             data = {k: v for k, v in batch.items() if k != "ids"}
             if args.eval_scales:
-                d = infer_multiscale(state, data, scales=tuple(args.eval_scales))
+                d = infer_multiscale(state, data, scales=tuple(args.eval_scales),
+                                     nms="soft" if args.soft_nms else "hard")
             else:
                 out = infer_step(state, data)
                 d = detect(out, jnp.asarray(anchors), (H, W), score_threshold=0.05,
@@ -168,9 +184,20 @@ def main(argv=None) -> None:
         print(f"epoch {epoch + 1}: mAP={res['mAP']:.4f}")
         if res["mAP"] > best_map:
             best_map = res["mAP"]
+            # persist the validation detections for offline re-scoring
+            # (reference keeps predictions in its best checkpoints,
+            # Classifiers/experiments.py:193-222 / Detectors inference loop)
+            det_arrays = {k: np.stack([d[k] for d in dets])
+                          for k in ("boxes", "scores", "classes", "valid")}
+            det_arrays["annotations"] = np.stack(anns)
             save_checkpoint(f"{args.workdir}/best", state,
                             config={"classes": classes, "resize": args.resize},
-                            extra_meta={"mAP": best_map}, max_to_keep=1)
+                            extra_meta={"mAP": best_map}, max_to_keep=1,
+                            extra_arrays=det_arrays)
+        save_checkpoint(f"{args.workdir}/checkpoints", state, step=epoch + 1,
+                        config={"classes": classes, "resize": args.resize},
+                        extra_meta={"epoch": epoch + 1, "best_mAP": float(best_map)},
+                        max_to_keep=1)
     print(json.dumps({"best_mAP": best_map}))
 
 

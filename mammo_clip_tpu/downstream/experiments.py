@@ -103,8 +103,16 @@ def train_classifier(
     config: Optional[Dict] = None,
     aggregate: Optional[Callable[[np.ndarray, np.ndarray, list], tuple]] = None,
     rng: Optional[jax.Array] = None,
+    resume: bool = False,
 ) -> Dict[str, float]:
-    """Returns {'best_metric': ..., 'history': [...]}; checkpoints best into workdir."""
+    """Returns {'best_metric': ..., 'history': [...]}; checkpoints best into workdir.
+
+    The best checkpoint embeds the validation ``predictions``/``labels`` arrays
+    (arrays.npz sidecar) for offline re-scoring, and a per-epoch resume
+    checkpoint lands in ``workdir/checkpoints`` — parity with the reference's
+    persisted predictions (Classifiers/experiments.py:193-222) plus the
+    preemption-resume its 30/120-epoch loops lack. ``resume=True`` picks up
+    from the latest epoch checkpoint, preserving the best-metric watermark."""
     total_steps = max(epochs * steps_per_epoch, 2)
     warmup_steps = min(warmup_epochs * steps_per_epoch, total_steps - 1)
     sched = warmup_cosine_sq_schedule(lr, total_steps, warmup_steps)
@@ -123,7 +131,23 @@ def train_classifier(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     best = -np.inf
     history = []
-    for epoch in range(epochs):
+    start_epoch = 0
+    resume_dir = f"{workdir}/checkpoints" if workdir else None
+    if resume and resume_dir:
+        from ..train.checkpoint import latest_step, restore_checkpoint
+
+        if latest_step(resume_dir) is not None:
+            state, _, meta = restore_checkpoint(resume_dir, state)
+            # uncommit restored leaves (same device-commitment trick as Trainer)
+            state = jax.tree_util.tree_map(
+                lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, state)
+            start_epoch = int(meta.get("epoch", 0))
+            if meta.get("best_metric") is not None:
+                best = float(meta["best_metric"])
+            history = list(meta.get("history", []))
+            if is_master():
+                print(f"resumed classifier at epoch {start_epoch} (best={best:.4f})")
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         for batch in train_batches(epoch):
             state, loss = train_step(state, batch, rng)
@@ -149,7 +173,15 @@ def train_classifier(
             best = metric
             if workdir and is_master():
                 save_checkpoint(f"{workdir}/best", state, config=config,
-                                extra_meta={"epoch": epoch + 1, "metric": metric}, max_to_keep=1)
+                                extra_meta={"epoch": epoch + 1, "metric": metric},
+                                max_to_keep=1,
+                                extra_arrays={"predictions": preds, "labels": labels})
+        if workdir and is_master():
+            save_checkpoint(resume_dir, state, config=config, step=epoch + 1,
+                            extra_meta={"epoch": epoch + 1,
+                                        "best_metric": None if not np.isfinite(best) else float(best),
+                                        "history": [float(h) for h in history]},
+                            max_to_keep=1)
     logger.close()
     return {"best_metric": float(best), "history": history}
 
@@ -189,9 +221,10 @@ def make_detector_steps(model, anchors, preprocess, alpha: float = 0.25, gamma: 
         )
 
     def infer_multiscale(state: TrainState, batch, scales,
-                         score_threshold=0.05, iou_threshold=0.5):
+                         score_threshold=0.05, iou_threshold=0.5, nms="hard"):
         """Multi-scale eval: preprocess once, then detect over the scale set
-        with a single merged NMS (models/retinanet.detect_multiscale)."""
+        with a single merged NMS (models/retinanet.detect_multiscale).
+        ``nms`` picks hard or gaussian soft suppression for the merged pool."""
         from ..models.retinanet import detect_multiscale
 
         b = preprocess(batch, None)
@@ -203,7 +236,7 @@ def make_detector_steps(model, anchors, preprocess, alpha: float = 0.25, gamma: 
 
         return detect_multiscale(apply_fn, b["images"], tuple(scales),
                                  score_threshold=score_threshold,
-                                 iou_threshold=iou_threshold)
+                                 iou_threshold=iou_threshold, nms=nms)
 
     return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(infer_step),
-            jax.jit(infer_multiscale, static_argnames=("scales",)))
+            jax.jit(infer_multiscale, static_argnames=("scales", "nms")))

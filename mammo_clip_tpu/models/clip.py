@@ -109,6 +109,7 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
         fused_mbconv=config.get("fused_mbconv", False),
         s2d_exec=config.get("s2d_exec", False),
         tpu_optimized=config.get("tpu_optimized", False),
+        tpu_dense_widths=config.get("tpu_dense_widths", True),
         pooling=config.get("pooling", "avg"),
         dtype=dtype,
         name="image_encoder",

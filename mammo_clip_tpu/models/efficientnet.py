@@ -88,6 +88,13 @@ class BlockArgs:
     in_filters: int
     out_filters: int
     se_ratio: float
+    expand_filters: int = 0  # explicit expanded width; 0 = in_filters * expand_ratio
+    #   (used by the tpu_optimized dense-width remap, where E is decoupled from
+    #   the block I/O widths so capacity survives the 128-multiple rounding)
+
+    @property
+    def expanded(self) -> int:
+        return self.expand_filters or self.in_filters * self.expand_ratio
 
 
 def scaled_block_args(variant: str) -> List[BlockArgs]:
@@ -455,8 +462,8 @@ class MBConvBlock(nn.Module):
             name=name,
         )
         inputs = x
-        expanded = a.in_filters * a.expand_ratio
-        if a.expand_ratio != 1:
+        expanded = a.expanded
+        if expanded != a.in_filters:
             x = nn.Conv(expanded, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv")(x)
             x = bn("bn0")(x)
             x = jax.nn.silu(x)
@@ -520,9 +527,18 @@ class EfficientNet(nn.Module):
     #   channel feature maps whose bf16 lane padding wastes up to 5.3x HBM bytes
     #   at 456x760) with space-to-depth(4) -> conv3x3 to C=128 -> two MBConv(e=2,
     #   C=128) blocks at 1/4 resolution — fully lane-dense and MXU-friendly.
-    #   Stages 3+ are unchanged apart from stage 3's entry block taking C=128
-    #   (expand_ratio 2, same expanded width ballpark as the original 240).
-    #   CLIP-pretraining only: feature_taps must be empty (block indices shift).
+    #   Stages 3+ keep the reference topology apart from stage 3's entry block
+    #   taking C=128 (expand_ratio 2, same expanded width ballpark as the
+    #   original 240) and, with ``tpu_dense_widths``, the 128-multiple width
+    #   remap below. CLIP-pretraining only: feature_taps must be empty.
+    tpu_dense_widths: bool = True  # with tpu_optimized: remap the deep stages'
+    #   widths so NO tensor carries bf16 lane padding — block I/O widths snap to
+    #   the NEAREST 128-multiple (B5: 64->128, 176->128, 304->256, 512 stays)
+    #   while each block's EXPANDED width (the capacity carrier) rounds UP to a
+    #   128-multiple of the original (1056->1152, 1824->1920). I/O bytes for the
+    #   k5-heavy stages 5/6 drop 2x/1.5x at unchanged expanded compute — the
+    #   r2 profile's "architecture-intrinsic" lane pads eliminated (VERDICT r2
+    #   #2). False reproduces the round-2 flagship exactly.
     pooling: str = "avg"  # 'avg' (lukemelas path) or 'gem' (the reference's timm
     #   EfficientNet_Mammo GeM(p=3) option, image_encoder.py:95-116)
     dtype: Any = jnp.float32
@@ -550,6 +566,8 @@ class EfficientNet(nn.Module):
         block_offset = 0
         if self.tpu_optimized:
             assert not self.feature_taps, "tpu_optimized supports pretraining only"
+            assert not (self.s2d_exec or self.fused_mbconv), (
+                "tpu_optimized is its own layout regime")
             n, h, w, c = x.shape
             assert h % 4 == 0 and w % 4 == 0, f"space-to-depth(4) needs /4 dims, got {x.shape}"
             # space-to-depth(4): (N, H/4, W/4, 16*C) — every tensor from here on
@@ -575,6 +593,24 @@ class EfficientNet(nn.Module):
                 skip += 1
             entry = args[skip]
             args = [dataclasses.replace(entry, in_filters=128, expand_ratio=2)] + args[skip + 1:]
+            if self.tpu_dense_widths:
+                # lane-dense deep stages: snap I/O widths to the nearest
+                # 128-multiple, round the expanded width UP from the original —
+                # same bytes where rounding goes up (the pad becomes real
+                # capacity), 1.5-2x fewer where it goes down (see flag doc)
+                def _nearest128(c: int) -> int:
+                    lo = max(128, (c // 128) * 128)
+                    return lo if (c - lo) <= (lo + 128 - c) else lo + 128
+
+                args = [
+                    dataclasses.replace(
+                        a,
+                        in_filters=_nearest128(a.in_filters),
+                        out_filters=_nearest128(a.out_filters),
+                        expand_filters=-(-a.expanded // 128) * 128,
+                    )
+                    for a in args
+                ]
             block_offset = skip
         else:
             x = nn.Conv(

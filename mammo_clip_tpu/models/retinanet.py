@@ -158,6 +158,29 @@ class RetinaNet(nn.Module):
         return {"class_probs": cls, "box_deltas": reg}
 
 
+def _per_class_nms(boxes, cls_probs, nms, iou_threshold, score_threshold,
+                   top_k_per_class, soft_nms_sigma):
+    """Single-image per-class NMS over a candidate pool; ``nms`` picks hard
+    suppression or gaussian soft-NMS. Shared by detect / detect_multiscale so
+    the soft mode composes with every eval path."""
+    if nms == "soft":
+        from ..ops.nms import soft_nms
+
+        def per_class(c_scores):
+            return soft_nms(boxes, c_scores, sigma=soft_nms_sigma,
+                            iou_threshold=iou_threshold,
+                            score_threshold=score_threshold,
+                            top_k=top_k_per_class)
+
+        bb, ss, vv = jax.vmap(per_class, in_axes=1)(cls_probs)  # (C, K, ...)
+        C = cls_probs.shape[1]
+        cc = jnp.broadcast_to(jnp.arange(C)[:, None], (C, top_k_per_class))
+        return bb.reshape(-1, 4), ss.reshape(-1), cc.reshape(-1), vv.reshape(-1)
+    return batched_class_nms(
+        boxes, cls_probs, iou_threshold, score_threshold, top_k_per_class
+    )
+
+
 def anchors_for(image_shape: Tuple[int, int]) -> np.ndarray:
     """Static per-shape anchor lattice (see ops/boxes.build_anchors)."""
     return build_anchors(image_shape)
@@ -183,22 +206,8 @@ def detect(
 
     def per_image(cls_probs, deltas):
         boxes = clip_boxes(decode_boxes(anchors, deltas), image_shape)
-        if nms == "soft":
-            from ..ops.nms import soft_nms
-
-            def per_class(c_scores):
-                return soft_nms(boxes, c_scores, sigma=soft_nms_sigma,
-                                iou_threshold=iou_threshold,
-                                score_threshold=score_threshold,
-                                top_k=top_k_per_class)
-
-            bb, ss, vv = jax.vmap(per_class, in_axes=1)(cls_probs)  # (C, K, ...)
-            C = cls_probs.shape[1]
-            cc = jnp.broadcast_to(jnp.arange(C)[:, None], (C, top_k_per_class))
-            return bb.reshape(-1, 4), ss.reshape(-1), cc.reshape(-1), vv.reshape(-1)
-        return batched_class_nms(
-            boxes, cls_probs, iou_threshold, score_threshold, top_k_per_class
-        )
+        return _per_class_nms(boxes, cls_probs, nms, iou_threshold,
+                              score_threshold, top_k_per_class, soft_nms_sigma)
 
     b, s, c, v = jax.vmap(per_image)(outputs["class_probs"], outputs["box_deltas"])
     return {"boxes": b, "scores": s, "classes": c, "valid": v}
@@ -211,6 +220,8 @@ def detect_multiscale(
     score_threshold: float = 0.05,
     iou_threshold: float = 0.5,
     top_k_per_class: int = 100,
+    nms: str = "hard",
+    soft_nms_sigma: float = 0.5,
 ):
     """Multi-scale inference: run the detector at several image scales, map all
     candidate boxes back to the base frame, and run ONE per-class NMS over the
@@ -250,8 +261,8 @@ def detect_multiscale(
     probs = jnp.concatenate(all_probs, axis=1)   # (B, sum_A, C)
 
     def merged_nms(bx, pr):
-        return batched_class_nms(bx, pr, iou_threshold, score_threshold,
-                                 top_k_per_class)
+        return _per_class_nms(bx, pr, nms, iou_threshold, score_threshold,
+                              top_k_per_class, soft_nms_sigma)
 
     b, s_, c, v = jax.vmap(merged_nms)(boxes, probs)
     return {"boxes": b, "scores": s_, "classes": c, "valid": v}

@@ -29,6 +29,7 @@ class ViTConfig:
     mlp_dim: int = 3072
     base_grid: int = 14  # pretraining grid (224/16); pos embeddings interpolate from it
     dropout_rate: float = 0.0
+    ln_eps: float = 1e-12  # HF ViTConfig.layer_norm_eps (weight-import parity)
 
     @classmethod
     def tiny(cls) -> "ViTConfig":
@@ -42,13 +43,13 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.cfg
-        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="ln1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=cfg.num_heads, dtype=self.dtype, name="attn",
             dropout_rate=cfg.dropout_rate, deterministic=deterministic,
         )(h, h)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(cfg.mlp_dim, dtype=self.dtype, name="fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
@@ -94,7 +95,7 @@ class ViT(nn.Module):
         seq = jnp.concatenate([cls_tok, tokens], axis=1)
         for i in range(cfg.num_layers):
             seq = ViTBlock(cfg, dtype=self.dtype, name=f"block_{i}")(seq, deterministic=not train)
-        seq = nn.LayerNorm(dtype=self.dtype, name="ln_final")(seq)
+        seq = nn.LayerNorm(epsilon=self.cfg.ln_eps, dtype=self.dtype, name="ln_final")(seq)
         return {
             "pooled": seq[:, 0],  # CLS token (reference clip.py:50-54)
             "features": seq[:, 1:].reshape(B, gh, gw, cfg.hidden_size),

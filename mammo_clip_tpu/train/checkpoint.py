@@ -39,8 +39,15 @@ def save_checkpoint(
     step: Optional[int] = None,
     extra_meta: Optional[Dict[str, Any]] = None,
     max_to_keep: Optional[int] = None,
+    extra_arrays: Optional[Dict[str, Any]] = None,
 ) -> None:
-    """Save {params, batch_stats, opt_state, step} at ``directory/<step>``; embed config."""
+    """Save {params, batch_stats, opt_state, step} at ``directory/<step>``; embed config.
+
+    ``extra_arrays`` writes an ``arrays.npz`` sidecar next to meta.json — used by
+    the downstream drivers to persist the validation predictions the reference
+    embeds in its best checkpoints for offline re-scoring
+    (reference: Classifiers/experiments.py:193-222). Read back with
+    ``load_checkpoint_arrays``."""
     directory = os.path.abspath(directory)
     step = int(state.step) if step is None else int(step)
     payload = {
@@ -63,6 +70,28 @@ def save_checkpoint(
         if config is not None:
             with open(os.path.join(directory, str(step), "config.json"), "w") as f:
                 f.write(Config(config).to_json())
+        if extra_arrays:
+            import numpy as np
+
+            np.savez_compressed(
+                os.path.join(directory, str(step), "arrays.npz"),
+                **{k: np.asarray(v) for k, v in extra_arrays.items()},
+            )
+
+
+def load_checkpoint_arrays(directory: str, step: Optional[int] = None) -> Dict[str, Any]:
+    """Read back the ``extra_arrays`` sidecar of ``save_checkpoint`` (e.g. the
+    persisted validation predictions). Returns {} when none was saved."""
+    import numpy as np
+
+    directory = os.path.abspath(directory)
+    if step is None:
+        step = latest_step(directory)
+    path = os.path.join(directory, str(step), "arrays.npz")
+    if not os.path.exists(path):
+        return {}
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
 
 
 def latest_step(directory: str) -> Optional[int]:
@@ -90,13 +119,26 @@ def restore_checkpoint(directory: str, template_state, step: Optional[int] = Non
         }
         if getattr(template_state, "ema_params", None) is not None:
             template["ema_params"] = template_state.ema_params
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        except Exception:
+            # Resuming a pre-EMA checkpoint with ema_decay now enabled: the
+            # stored tree lacks ema_params and orbax rejects the bigger
+            # template. Retry without it and re-seed EMA from the restored
+            # params below.
+            if "ema_params" not in template:
+                raise
+            template.pop("ema_params")
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    ema = restored.get("ema_params")
+    if ema is None and getattr(template_state, "ema_params", None) is not None:
+        ema = jax.tree_util.tree_map(lambda a: a.copy(), restored["params"])
     state = template_state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
         step=restored["step"],
-        ema_params=restored.get("ema_params", getattr(template_state, "ema_params", None)),
+        ema_params=ema,
     )
     config = None
     cfg_path = os.path.join(directory, str(step), "config.json")

@@ -16,6 +16,21 @@ import jax.numpy as jnp
 import optax
 
 
+def schedule_horizon(epochs: int, warmup_epochs: int, steps_per_epoch: int,
+                     grad_accum_steps: int = 1) -> tuple:
+    """(total, warmup) in OPTIMIZER updates. With gradient accumulation,
+    optax.MultiSteps advances the inner optimizer's schedule count only once
+    per k micro-steps — so the horizon must be divided by k, or warmup/decay
+    stretch k-fold and training ends far up the cosine curve."""
+    total = epochs * steps_per_epoch
+    warmup = warmup_epochs * steps_per_epoch
+    k = max(1, int(grad_accum_steps or 1))
+    if k > 1:
+        total = max(1, total // k)
+        warmup = min(warmup // k, total - 1)
+    return total, warmup
+
+
 def warmup_cosine_sq_schedule(base_lr: float, total_steps: int, warmup_steps: int) -> optax.Schedule:
     assert warmup_steps < total_steps, "warmup must be < total steps"
 

@@ -31,7 +31,14 @@ class TrainState:
         new_params = optax.apply_updates(self.params, updates)
         new_ema = self.ema_params
         if self.ema_params is not None:
-            d = self.ema_decay
+            d = jnp.asarray(self.ema_decay, jnp.float32)
+            # Under optax.MultiSteps the params change only on the micro-step
+            # whose update wraps mini_step back to 0; blending EMA on the k-1
+            # accumulation-only steps would shrink the effective horizon to
+            # decay**k. Freeze the blend (decay=1) on those steps.
+            mini_step = getattr(new_opt_state, "mini_step", None)
+            if mini_step is not None:
+                d = jnp.where(mini_step == 0, d, 1.0)
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: d * e + (1.0 - d) * p, self.ema_params, new_params)
         return self.replace(

@@ -29,7 +29,7 @@ from ..ops.augment import AugmentConfig, augment_batch, augment_two_views
 from ..utils.logging import MetricsLogger
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .optim import build_optimizer
-from .schedule import warmup_cosine_sq_schedule
+from .schedule import schedule_horizon, warmup_cosine_sq_schedule
 from .state import create_train_state
 from .step import make_eval_step, make_train_step
 
@@ -96,8 +96,10 @@ class Trainer:
 
     def _build_state(self, example_batch, steps_per_epoch: int):
         cfg = self.cfg
-        total = cfg.scheduler.epochs * steps_per_epoch
-        warmup = cfg.scheduler.warmup_epochs * steps_per_epoch
+        total, warmup = schedule_horizon(
+            cfg.scheduler.epochs, cfg.scheduler.warmup_epochs, steps_per_epoch,
+            cfg.optimizer.get("grad_accum_steps", 1),
+        )
         schedule = warmup_cosine_sq_schedule(cfg.optimizer.lr, total, warmup)
         tx = build_optimizer(cfg.optimizer.to_dict(), schedule)
         state = create_train_state(

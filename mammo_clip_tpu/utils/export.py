@@ -33,11 +33,15 @@ def export_clip_serving(
     text_len: int,
     batch: int,
     out_dir: str,
+    platforms: Tuple[str, ...] = ("cpu", "tpu"),
 ) -> Dict[str, str]:
     """Serialize embed-image / embed-text with baked parameters.
 
     Writes ``image_fn.shlo``, ``text_fn.shlo`` and a ``serving.json`` manifest
-    (shapes, dtypes, embedding dim) to ``out_dir``; returns the file map.
+    (shapes, dtypes, embedding dim, platform list) to ``out_dir``; returns the
+    file map. ``platforms`` sets the lowering targets baked into the artifact —
+    jax.export otherwise pins the single platform active at export time, and an
+    artifact exported on a TPU pod would refuse to run on a CPU canary.
     """
     h, w = image_hw
 
@@ -52,8 +56,8 @@ def export_clip_serving(
     img_spec = jax.ShapeDtypeStruct((batch, h, w, 1), jnp.float32)
     ids_spec = jax.ShapeDtypeStruct((batch, text_len), jnp.int32)
 
-    exp_img = jax_export.export(jax.jit(image_fn))(img_spec)
-    exp_txt = jax_export.export(jax.jit(text_fn))(ids_spec, ids_spec)
+    exp_img = jax_export.export(jax.jit(image_fn), platforms=list(platforms))(img_spec)
+    exp_txt = jax_export.export(jax.jit(text_fn), platforms=list(platforms))(ids_spec, ids_spec)
 
     os.makedirs(out_dir, exist_ok=True)
     files = {}
@@ -67,6 +71,7 @@ def export_clip_serving(
         "image_input": [batch, h, w, 1],
         "text_input": [batch, text_len],
         "embedding_dim": dim,
+        "platforms": list(platforms),
         "contract": "normalized float32 NHWC images; int32 ids+mask; "
                     "outputs are L2-normalized embeddings",
     }

@@ -35,8 +35,15 @@ def _toy_pairs(n, h, w, seed):
 
 
 @pytest.mark.slow
-def test_clip_pretraining_enables_zeroshot():
+@pytest.mark.parametrize("tpu_optimized", [False, True],
+                         ids=["compat", "flagship"])
+def test_clip_pretraining_enables_zeroshot(tpu_optimized):
+    """Both the reference-exact path and the TPU-native flagship recipe
+    (space-to-depth front end, ``image_encoder.tpu_optimized``) must clear the
+    same zero-shot bar on the same toy task — the learning-quality evidence
+    behind the bench's flagship number (VERDICT r2 #1)."""
     cfg = tiny_test_config()
+    cfg.model.image_encoder.tpu_optimized = tpu_optimized
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     tok = HashTokenizer(vocab_size=cfg.model.text_encoder.vocab_size)
     model = build_model(cfg.model.to_dict())

@@ -350,3 +350,70 @@ def test_public_checkpoint_shape_end_to_end(tmp_path):
     assert np.all(np.isfinite(img_emb)) and np.all(np.isfinite(txt_emb))
     # embeddings are L2-normalized by the extractor contract
     np.testing.assert_allclose(np.linalg.norm(txt_emb, axis=1), 1.0, atol=1e-4)
+
+
+def test_hf_vit_conversion_matches_hf():
+    """VERDICT r2 #8: pretrained HF ViT weight import (the reference loads HF
+    ViTs as alternative image encoders, image_encoder.py:17-48). Numeric parity
+    against a randomly-initialized HF ViTModel on replicated-gray input — the
+    3->1 channel stem collapse is exact there."""
+    from transformers import ViTConfig as HFViTConfig, ViTModel
+
+    from mammo_clip_tpu.convert.torch_import import convert_hf_vit
+    from mammo_clip_tpu.models.vit import ViT, ViTConfig
+
+    hf_cfg = HFViTConfig(
+        image_size=32, patch_size=8, num_channels=3, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(5)
+    hf = ViTModel(hf_cfg, add_pooling_layer=False).eval()
+    gray = torch.rand(2, 1, 32, 32)
+    with torch.no_grad():
+        ref = hf(pixel_values=gray.repeat(1, 3, 1, 1)).last_hidden_state.numpy()
+
+    params = convert_hf_vit(hf.state_dict(), num_heads=2)
+    ours = ViT(cfg=ViTConfig(patch_size=8, hidden_size=32, num_layers=2,
+                             num_heads=2, mlp_dim=64, base_grid=4),
+               in_channels=1)
+    x = jnp.asarray(gray.numpy().transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    out = ours.apply({"params": params}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out["tokens"]), ref, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["pooled"]), ref[:, 0], atol=2e-4)
+
+
+def test_hf_swin_conversion_matches_hf():
+    """VERDICT r2 #8: pretrained HF Swin weight import (factory
+    modules/__init__.py:20-34). Covers shifted windows (stage-0 block 1),
+    relative-position bias, and the patch-merging sub-grid permutation."""
+    from transformers import SwinConfig as HFSwinConfig, SwinModel
+
+    from mammo_clip_tpu.convert.torch_import import convert_hf_swin
+    from mammo_clip_tpu.models.swin import SwinConfig, SwinTransformer
+
+    hf_cfg = HFSwinConfig(
+        image_size=32, patch_size=4, num_channels=3, embed_dim=16,
+        depths=(2, 2), num_heads=(2, 2), window_size=4, mlp_ratio=4.0,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0,
+    )
+    torch.manual_seed(7)
+    hf = SwinModel(hf_cfg, add_pooling_layer=True).eval()
+    gray = torch.rand(2, 1, 32, 32)
+    with torch.no_grad():
+        hf_out = hf(pixel_values=gray.repeat(1, 3, 1, 1))
+        ref_seq = hf_out.last_hidden_state.numpy()      # (B, 16, 32) post-LN
+        ref_pooled = hf_out.pooler_output.numpy()       # (B, 32) mean pool
+
+    params = convert_hf_swin(hf.state_dict(), num_heads=(2, 2))
+    ours = SwinTransformer(
+        cfg=SwinConfig(patch_size=4, embed_dim=16, depths=(2, 2),
+                       num_heads=(2, 2), window=4),
+        in_channels=1)
+    x = jnp.asarray(gray.numpy().transpose(0, 2, 3, 1))
+    out = ours.apply({"params": params}, x, train=False)
+    B, H, W, C = out["features"].shape
+    np.testing.assert_allclose(
+        np.asarray(out["features"]).reshape(B, H * W, C), ref_seq, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["pooled"]), ref_pooled, atol=2e-4)

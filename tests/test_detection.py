@@ -345,3 +345,33 @@ def test_multiscale_single_scale_matches_detect():
     for k in ("boxes", "scores", "classes", "valid"):
         np.testing.assert_allclose(np.asarray(d1[k]), np.asarray(d2[k]),
                                    rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_multiscale_soft_nms_matches_single_scale_soft():
+    """--soft-nms composes with --eval-scales: detect_multiscale(nms='soft') at
+    scales=(1.0,) reduces to the plain detect(nms='soft') path (ADVICE r2: the
+    flag used to be silently ignored under multi-scale eval)."""
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.models.retinanet import detect, detect_multiscale
+    from mammo_clip_tpu.ops.boxes import build_anchors
+
+    rng = np.random.default_rng(0)
+    base = (64, 64)
+    anchors = build_anchors(base)
+    A = anchors.shape[0]
+    out = {
+        "class_probs": jnp.asarray(rng.uniform(0, 1, (2, A, 3)), jnp.float32),
+        "box_deltas": jnp.asarray(rng.normal(0, 0.1, (2, A, 4)), jnp.float32),
+    }
+
+    d1 = detect(out, jnp.asarray(anchors), base, score_threshold=0.3, nms="soft")
+    d2 = detect_multiscale(lambda imgs: out, jnp.zeros((2, 64, 64, 1)),
+                           scales=(1.0,), score_threshold=0.3, nms="soft")
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(np.asarray(d1[k]), np.asarray(d2[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+    # and the soft pool differs from the hard pool (the flag has an effect)
+    dh = detect_multiscale(lambda imgs: out, jnp.zeros((2, 64, 64, 1)),
+                           scales=(1.0,), score_threshold=0.3, nms="hard")
+    assert not np.allclose(np.asarray(dh["scores"]), np.asarray(d2["scores"]))

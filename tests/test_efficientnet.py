@@ -163,3 +163,47 @@ def test_tpu_optimized_variant_trains():
     leaves = jax.tree_util.tree_leaves(g["params"])
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_tpu_dense_widths_remap():
+    """tpu_dense_widths: every deep-stage tensor width in the flagship is a
+    128-multiple — I/O widths snap to the NEAREST multiple (B5: 64->128,
+    176->128, 304->256), expanded widths round UP (1056->1152, 1824->1920) so
+    capacity survives the rounding (VERDICT r2 #2: no lane pads left)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.models.efficientnet import EfficientNet, scaled_block_args
+
+    # reproduce the module's remap via its param tree: build flagship b5
+    # abstractly and check every conv kernel's channel dims are 128-multiples
+    m = EfficientNet(variant="b5", in_channels=1, tpu_optimized=True)
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    v = jax.eval_shape(lambda: m.init({"params": jax.random.PRNGKey(0)}, x, False))
+
+    def walk(tree, path=""):
+        for k, sub in tree.items():
+            p = f"{path}/{k}"
+            if hasattr(sub, "items"):
+                yield from walk(sub, p)
+            else:
+                yield p, sub
+
+    for path, leaf in walk(v["params"]):
+        if "block_" not in path or "/se/" in path:
+            continue  # SE squeeze widths are intentionally narrow (gates, tiny)
+        if path.endswith("/kernel") and len(leaf.shape) == 4:
+            kh, kw, cin, cout = leaf.shape
+            if cin > 1:  # depthwise kernels carry in_per_group=1
+                assert cin % 128 == 0, (path, leaf.shape)
+            assert cout % 128 == 0, (path, leaf.shape)
+
+    # r2 recipe reproducible: dense widths off keeps the original deep widths
+    m_r2 = EfficientNet(variant="b5", in_channels=1, tpu_optimized=True,
+                        tpu_dense_widths=False)
+    v_r2 = jax.eval_shape(lambda: m_r2.init({"params": jax.random.PRNGKey(0)}, x, False))
+    widths = {leaf.shape[-1] for p, leaf in walk(v_r2["params"])
+              if "block_" in p and p.endswith("project_conv/kernel")}
+    assert 176 in widths and 304 in widths

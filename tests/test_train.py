@@ -347,3 +347,68 @@ def test_ema_params_track_and_checkpoint():
             restore_checkpoint(d, fresh), tuple) else restore_checkpoint(d, fresh)
         r1 = jax.tree_util.tree_leaves(restored.ema_params)[0]
         np.testing.assert_allclose(np.asarray(r1), np.asarray(e1))
+
+
+def test_schedule_horizon_divides_by_grad_accum():
+    """With grad_accum_steps=k the schedule horizon is expressed in optimizer
+    updates (micro-steps / k) — optax.MultiSteps advances the inner schedule
+    once per k micro-batches (ADVICE r2)."""
+    from mammo_clip_tpu.train.schedule import schedule_horizon
+
+    assert schedule_horizon(15, 1, 100) == (1500, 100)
+    assert schedule_horizon(15, 1, 100, grad_accum_steps=4) == (375, 25)
+    # warmup stays strictly below total even in degenerate cases
+    t, w = schedule_horizon(1, 1, 4, grad_accum_steps=4)
+    assert w < t
+
+
+def test_ema_frozen_on_accumulation_micro_steps():
+    """Under optax.MultiSteps, EMA must blend only on the micro-step that
+    actually applies the accumulated update — otherwise the effective decay per
+    optimizer update is decay**k (ADVICE r2)."""
+    import numpy as np
+
+    from mammo_clip_tpu.train.optim import build_optimizer
+    from mammo_clip_tpu.train.state import TrainState
+
+    tx = build_optimizer({"name": "sgd", "weight_decay": 0.0, "momentum": 0.0,
+                          "grad_accum_steps": 2}, lambda s: 0.1)
+    params = {"w": jnp.ones(3)}
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       batch_stats={}, opt_state=tx.init(params), tx=tx,
+                       ema_params={"w": jnp.zeros(3)}, ema_decay=0.5)
+    g = {"w": jnp.ones(3)}
+    state = state.apply_gradients(g)  # accumulation-only: params AND ema frozen
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(state.ema_params["w"]), 0.0)
+    state = state.apply_gradients(g)  # applies avg grad: p=0.9, ema=0.5*0+0.5*0.9
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 0.9, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.ema_params["w"]), 0.45, rtol=1e-6)
+
+
+def test_restore_pre_ema_checkpoint_reseeds_ema(tmp_path):
+    """A checkpoint saved WITHOUT ema_params restores into an EMA-enabled
+    template: orbax's template mismatch is caught, the payload restores, and
+    EMA is re-seeded from the restored params (ADVICE r2)."""
+    import numpy as np
+
+    from mammo_clip_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from mammo_clip_tpu.train.optim import build_optimizer
+    from mammo_clip_tpu.train.state import TrainState
+
+    tx = build_optimizer({"name": "sgd", "weight_decay": 0.0}, lambda s: 0.1)
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    plain = TrainState(step=jnp.asarray(3, jnp.int32), params=params,
+                       batch_stats={}, opt_state=tx.init(params), tx=tx)
+    ckpt = str(tmp_path / "pre_ema")
+    save_checkpoint(ckpt, plain, max_to_keep=1)
+
+    template = TrainState(
+        step=jnp.asarray(0, jnp.int32), params={"w": jnp.zeros(2)},
+        batch_stats={}, opt_state=tx.init({"w": jnp.zeros(2)}), tx=tx,
+        ema_params={"w": jnp.full((2,), 7.0)}, ema_decay=0.999)
+    restored, _, _ = restore_checkpoint(ckpt, template)
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), [1.0, 2.0])
+    # EMA re-seeded from the restored params, not the template placeholder
+    np.testing.assert_allclose(np.asarray(restored.ema_params["w"]), [1.0, 2.0])
+    assert int(restored.step) == 3
