@@ -49,10 +49,13 @@ def main() -> None:
 
     print(f"image tower @ {H}x{W}, bs=1, bf16 activations", file=sys.stderr)
     base = analyze("reference-exact B5")
-    r2 = analyze("flagship r2 (s2d front only)", tpu_optimized=True,
-                 tpu_dense_widths=False)
-    flag = analyze("flagship r3 (+dense widths)", tpu_optimized=True)
-    for name, row in (("r2 / compat", r2), ("r3 / compat", flag)):
+    r2 = analyze("flagship r2 (s2d front e2)", tpu_optimized=True,
+                 tpu_dense_widths=False, tpu_front_expand=2)
+    r3w = analyze("r3 +dense widths (front e2)", tpu_optimized=True,
+                  tpu_front_expand=2)
+    flag = analyze("flagship r3 (dense, front e1)", tpu_optimized=True)
+    for name, row in (("r2 / compat", r2), ("r3-e2 / compat", r3w),
+                      ("r3 / compat", flag)):
         print(f"{name:32s} params {row[0]/base[0]:8.3f}     "
               f"fwd {row[1]/base[1]:8.3f}")
 

@@ -30,6 +30,12 @@ def main() -> None:
                     help="fused Pallas MBConv for the qualifying early-stage blocks")
     ap.add_argument("--tpu-opt", action="store_true",
                     help="tpu_optimized encoder variant (space-to-depth front end)")
+    ap.add_argument("--front-blocks", type=int, default=None,
+                    help="with --tpu-opt: front-end MBConv block count")
+    ap.add_argument("--front-expand", type=int, default=None,
+                    help="with --tpu-opt: front-end expand_ratio")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 MXU matmuls for the k5 stages' 1x1 convs")
     ap.add_argument("--no-dense-widths", action="store_true",
                     help="with --tpu-opt: keep the r2 deep-stage widths "
                     "(reproduces the round-2 flagship exactly)")
@@ -80,10 +86,16 @@ def main() -> None:
         cfg.model.image_encoder.tpu_optimized = True
         if args.no_dense_widths:
             cfg.model.image_encoder.tpu_dense_widths = False
+        if args.front_blocks is not None:
+            cfg.model.image_encoder.tpu_front_blocks = args.front_blocks
+        if args.front_expand is not None:
+            cfg.model.image_encoder.tpu_front_expand = args.front_expand
     if args.s2d:
         cfg.model.image_encoder.s2d_exec = True
     if args.remat_max is not None:
         cfg.model.image_encoder.remat_max_reduction = args.remat_max
+    if args.int8:
+        cfg.model.image_encoder.quant_int8_k5 = True
     B = args.batch
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length

@@ -109,7 +109,10 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
         fused_mbconv=config.get("fused_mbconv", False),
         s2d_exec=config.get("s2d_exec", False),
         tpu_optimized=config.get("tpu_optimized", False),
+        tpu_front_blocks=config.get("tpu_front_blocks", 2),
+        tpu_front_expand=config.get("tpu_front_expand", 1),
         tpu_dense_widths=config.get("tpu_dense_widths", True),
+        quant_int8_k5=config.get("quant_int8_k5", False),
         pooling=config.get("pooling", "avg"),
         dtype=dtype,
         name="image_encoder",

@@ -245,6 +245,10 @@ class MBConvBlock(nn.Module):
     s2d_nhwc: bool = False  # input arrives space-to-depth'd (N,H/2,W/2,4C),
     #   channel-major — execute the SAME block math 4x lane-denser
     #   (ops/s2d_exec.py); stride-2 blocks consume the layout (base-res output)
+    quant_int8: bool = False  # run the block's 1x1 expand/project convs as
+    #   int8 MXU matmuls (ops/quant.py): dynamic symmetric scales, int32
+    #   accumulation, straight-through bf16 gradients. Param tree unchanged
+    #   (_MirrorConv declares the same kernel leaf).
 
     def _fused_params(self):
         from ..ops.mbconv_pallas import MBConvParams
@@ -464,7 +468,15 @@ class MBConvBlock(nn.Module):
         inputs = x
         expanded = a.expanded
         if expanded != a.in_filters:
-            x = nn.Conv(expanded, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv")(x)
+            if self.quant_int8:
+                from ..ops.quant import int8_conv1x1
+
+                we, _ = _MirrorConv((1, 1, a.in_filters, expanded),
+                                    name="expand_conv")()
+                x = int8_conv1x1(x, we, out_dtype=self.dtype)
+            else:
+                x = nn.Conv(expanded, (1, 1), use_bias=False, dtype=self.dtype,
+                            name="expand_conv")(x)
             x = bn("bn0")(x)
             x = jax.nn.silu(x)
         x = nn.Conv(
@@ -481,7 +493,15 @@ class MBConvBlock(nn.Module):
         x = jax.nn.silu(x)
         if 0.0 < a.se_ratio <= 1.0:
             x = SqueezeExcite(a.in_filters, a.se_ratio, dtype=self.dtype, name="se")(x)
-        x = nn.Conv(a.out_filters, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv")(x)
+        if self.quant_int8:
+            from ..ops.quant import int8_conv1x1
+
+            wp, _ = _MirrorConv((1, 1, expanded, a.out_filters),
+                                name="project_conv")()
+            x = int8_conv1x1(x, wp, out_dtype=self.dtype)
+        else:
+            x = nn.Conv(a.out_filters, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="project_conv")(x)
         x = bn("bn2")(x)
         if a.stride == 1 and a.in_filters == a.out_filters:
             if train and self.drop_rate > 0.0:
@@ -531,6 +551,15 @@ class EfficientNet(nn.Module):
     #   taking C=128 (expand_ratio 2, same expanded width ballpark as the
     #   original 240) and, with ``tpu_dense_widths``, the 128-multiple width
     #   remap below. CLIP-pretraining only: feature_taps must be empty.
+    tpu_front_blocks: int = 2  # with tpu_optimized: number of MBConv blocks in
+    #   the space-to-depth front end (each C=128 at 1/4 resolution)
+    tpu_front_expand: int = 1  # their expand_ratio. The front is ~20% of the
+    #   r3 step at its byte-roofline (BASELINE.md r3 profile: 70 ms, 100%
+    #   HBM-bound at 613 GiB/s), so e and block count are the front's only
+    #   perf levers. Measured on chip (BASELINE.md r3 front A/B): e1x2 289 ms
+    #   (55.4 img/s) vs e2x1 294.7 vs e2x2 327 — e=1 (no expanded tensors,
+    #   half the front bytes) wins and keeps both spatial-mixing layers;
+    #   learning-quality gate: tests/test_clip_learns.py flagship param.
     tpu_dense_widths: bool = True  # with tpu_optimized: remap the deep stages'
     #   widths so NO tensor carries bf16 lane padding — block I/O widths snap to
     #   the NEAREST 128-multiple (B5: 64->128, 176->128, 304->256, 512 stays)
@@ -539,6 +568,11 @@ class EfficientNet(nn.Module):
     #   k5-heavy stages 5/6 drop 2x/1.5x at unchanged expanded compute — the
     #   r2 profile's "architecture-intrinsic" lane pads eliminated (VERDICT r2
     #   #2). False reproduces the round-2 flagship exactly.
+    quant_int8_k5: bool = False  # run the k5 stages' (B5: stages 3/5/6) 1x1
+    #   expand/project convs as int8 MXU matmuls (ops/quant.py; VERDICT r2 #5,
+    #   v5e int8 MXU). Checkpoint-identical param tree; forward-only
+    #   quantization with straight-through gradients. Opt-in experiment —
+    #   measured numbers in BASELINE.md.
     pooling: str = "avg"  # 'avg' (lukemelas path) or 'gem' (the reference's timm
     #   EfficientNet_Mammo GeM(p=3) option, image_encoder.py:95-116)
     dtype: Any = jnp.float32
@@ -577,9 +611,10 @@ class EfficientNet(nn.Module):
             x = nn.Conv(128, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype, name="tpu_stem_conv")(x)
             x = jax.nn.silu(bn("tpu_stem_bn")(x))
-            front = BlockArgs(kernel=3, stride=1, expand_ratio=2, in_filters=128,
-                              out_filters=128, se_ratio=0.25)
-            for j in range(2):
+            front = BlockArgs(kernel=3, stride=1,
+                              expand_ratio=self.tpu_front_expand,
+                              in_filters=128, out_filters=128, se_ratio=0.25)
+            for j in range(self.tpu_front_blocks):
                 x = MBConvBlock(front, drop_rate=0.0, dtype=self.dtype,
                                 name=f"tpu_front_block_{j}")(x, train)
             # drop the original stem + every block above 1/4 scale; stage 3's
@@ -745,6 +780,8 @@ class EfficientNet(nn.Module):
                 fused_nchw=x_nchw,
                 fused_valid_hw=(cur_h, cur_w) if pad_hw is not None else (),
                 s2d_nhwc=x_s2d,
+                quant_int8=(self.quant_int8_k5 and a.kernel == 5
+                            and not (x_nchw or x_s2d)),
                 name=f"block_{idx}",
             )(x, train)
             if x_s2d and a.stride > 1:

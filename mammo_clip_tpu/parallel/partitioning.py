@@ -7,9 +7,15 @@ BERT FFN and attention projections) — a capability the reference lacks; with
 ``model=1`` (default) every spec degrades to full replication = pure DP.
 
 Rules map parameter tree paths (joined with '/') to ``PartitionSpec``s; first regex
-match wins, default replicated. Convolution kernels stay replicated: at this model
-scale conv weights are small relative to activations, and replicated weights keep the
-conv + BN fusion local (no weight collectives in the hot loop).
+match wins, default replicated.
+
+Image tower (r3): MBConv blocks get a Megatron-style split over the EXPANDED
+channel dim — expand_conv column-split, depthwise + BN + SE gate sharded
+channelwise along it, project_conv row-split (GSPMD inserts the psum after the
+projection). Each block is one column->row pair, so the only per-block
+collective is the output reduce; block I/O activations stay replicated across
+'model'. Small leaves (stems, heads, SE squeeze bias, narrow early blocks)
+stay replicated — sharding them buys nothing and costs collectives.
 """
 
 from __future__ import annotations
@@ -30,6 +36,16 @@ PARTITION_RULES: List[Tuple[str, P]] = [
     (r"text_encoder/layer_\d+/intermediate/bias$", P("model")),
     (r"text_encoder/layer_\d+/ffn_output/kernel$", P("model", None)),
     (r"text_encoder/word_embeddings/embedding$", P(None, None)),
+    # image tower: Megatron column->row pair over each MBConv's expanded dim
+    # (conv kernels are HWIO). Depthwise kernels are (k, k, 1, E).
+    (r"image_encoder/[^/]*block_\d+/expand_conv/kernel$", P(None, None, None, "model")),
+    (r"image_encoder/[^/]*block_\d+/bn0/(scale|bias)$", P("model")),
+    (r"image_encoder/[^/]*block_\d+/depthwise_conv/kernel$", P(None, None, None, "model")),
+    (r"image_encoder/[^/]*block_\d+/bn1/(scale|bias)$", P("model")),
+    (r"image_encoder/[^/]*block_\d+/se/reduce/kernel$", P(None, None, "model", None)),
+    (r"image_encoder/[^/]*block_\d+/se/expand/kernel$", P(None, None, None, "model")),
+    (r"image_encoder/[^/]*block_\d+/se/expand/bias$", P("model")),
+    (r"image_encoder/[^/]*block_\d+/project_conv/kernel$", P(None, None, "model", None)),
     (r".*", P()),  # default: replicated
 ]
 

@@ -70,9 +70,18 @@ def test_clip_pretraining_enables_zeroshot(tpu_optimized):
     state = create_train_state(model, batch_of(slice(0, 8)), tx, jax.random.PRNGKey(0))
     train_step = make_train_step(model, loss_fn, donate=False)
     losses = []
+    # RESHUFFLED batch composition every epoch, like the real Batcher (and the
+    # reference's DataLoader(shuffle=True)). Fixed repeated batches let a
+    # BatchNorm encoder solve the in-batch contrastive task through batch
+    # statistics alone (features that transfer nowhere) — a test artifact that
+    # real training never presents, diagnosed on the tpu_optimized recipe in r3.
+    order_rng = np.random.default_rng(7)
     for step in range(250):
         i = (step * 8) % 32
-        state, ld = train_step(state, batch_of(slice(i, i + 8)), jax.random.PRNGKey(1))
+        if i == 0:
+            order = order_rng.permutation(32)
+        sel = order[i:i + 8]
+        state, ld = train_step(state, batch_of(sel), jax.random.PRNGKey(1))
         losses.append(float(ld["total"]))
     assert losses[-1] < losses[0]
 

@@ -71,7 +71,13 @@ def test_partition_rules():
     assert spec_for_path("text_encoder/layer_3/attention/query/kernel") == P(None, "model", None)
     assert spec_for_path("text_encoder/layer_0/intermediate/kernel") == P(None, "model")
     assert spec_for_path("text_encoder/layer_11/ffn_output/kernel") == P("model", None)
-    assert spec_for_path("image_encoder/block_5/depthwise_conv/kernel") == P()
+    # r3: image tower gets a Megatron column->row pair over the expanded dim
+    assert spec_for_path("image_encoder/block_5/depthwise_conv/kernel") == P(None, None, None, "model")
+    assert spec_for_path("image_encoder/block_5/expand_conv/kernel") == P(None, None, None, "model")
+    assert spec_for_path("image_encoder/block_5/project_conv/kernel") == P(None, None, "model", None)
+    assert spec_for_path("image_encoder/tpu_front_block_0/project_conv/kernel") == P(None, None, "model", None)
+    assert spec_for_path("image_encoder/stem_conv/kernel") == P()
+    assert spec_for_path("image_encoder/head_conv/kernel") == P()
     assert spec_for_path("logit_scale") == P()
 
 
