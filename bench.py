@@ -109,9 +109,12 @@ def main(argv=None) -> None:
 
     def preprocess(batch, rng):
         batch = dict(batch)
-        # both views in ONE warp invocation (halves the fixed per-call costs)
+        # both views in ONE warp invocation (halves the fixed per-call costs);
+        # the flagship emits bf16 (the encoder casts at entry anyway — halves
+        # the full-res bytes between warp and stem)
         batch["images"], batch["image_views"] = augment_two_views(
-            batch["images"], batch["image_views"], rng, aug, mean, std, train=True
+            batch["images"], batch["image_views"], rng, aug, mean, std, train=True,
+            out_dtype=None if args.compat else jnp.bfloat16,
         )
         return batch
 

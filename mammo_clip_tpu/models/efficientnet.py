@@ -563,11 +563,12 @@ class EfficientNet(nn.Module):
     tpu_dense_widths: bool = True  # with tpu_optimized: remap the deep stages'
     #   widths so NO tensor carries bf16 lane padding — block I/O widths snap to
     #   the NEAREST 128-multiple (B5: 64->128, 176->128, 304->256, 512 stays)
-    #   while each block's EXPANDED width (the capacity carrier) rounds UP to a
-    #   128-multiple of the original (1056->1152, 1824->1920). I/O bytes for the
-    #   k5-heavy stages 5/6 drop 2x/1.5x at unchanged expanded compute — the
-    #   r2 profile's "architecture-intrinsic" lane pads eliminated (VERDICT r2
-    #   #2). False reproduces the round-2 flagship exactly.
+    #   while each block's EXPANDED width (the capacity carrier) also snaps to
+    #   the NEAREST 128-multiple (1056->1024, 1824->1792; never below 128).
+    #   I/O bytes for the k5-heavy stages 5/6 drop 2x/1.5x and the expanded
+    #   tensors stop paying pad bytes — the r2 profile's
+    #   "architecture-intrinsic" lane pads eliminated (VERDICT r2 #2).
+    #   False reproduces the round-2 flagship exactly.
     quant_int8_k5: bool = False  # run the k5 stages' (B5: stages 3/5/6) 1x1
     #   expand/project convs as int8 MXU matmuls (ops/quant.py; VERDICT r2 #5,
     #   v5e int8 MXU). Checkpoint-identical param tree; forward-only
@@ -642,7 +643,7 @@ class EfficientNet(nn.Module):
                         a,
                         in_filters=_nearest128(a.in_filters),
                         out_filters=_nearest128(a.out_filters),
-                        expand_filters=-(-a.expanded // 128) * 128,
+                        expand_filters=_nearest128(a.expanded),
                     )
                     for a in args
                 ]

@@ -275,17 +275,25 @@ def augment_batch(
     std: float,
     train: bool = True,
     use_fast_warp: bool = True,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """The fused pipeline: normalize -> (train only) flip+affine+elastic in one warp.
 
     use_fast_warp selects the MXU two-pass warp (ops/warp.py, ~15x faster than the
     XLA-gather path on TPU); the gather path remains as the reference implementation.
+
+    out_dtype: emit the augmented batch in this dtype (default float32). The
+    flagship recipe passes bfloat16 — the encoder casts to bf16 at entry
+    anyway, so emitting bf16 here halves the full-res image bytes between the
+    warp and the stem (~900 MB/step at bs8 2-view 1520x912) at augmentation-
+    noise-level numeric cost.
     """
+    out_dtype = out_dtype or jnp.float32
     x = minmax_standardize(images, mean, std)
     if not train:
-        return x
+        return x.astype(out_dtype)
     if max(cfg.hflip_p, cfg.vflip_p, cfg.affine_p, cfg.elastic_p) == 0.0:
-        return x  # statically a no-op pipeline
+        return x.astype(out_dtype)  # statically a no-op pipeline
     B, H, W, _ = x.shape
     k_aff, k_el = jax.random.split(rng)
     mats = sample_affine_matrices(k_aff, B, H, W, cfg)
@@ -297,14 +305,15 @@ def augment_batch(
 
         beta_max, disp_max = warp_bounds(cfg)
         # bf16 sweep: halves the warp's HBM traffic; augmentation tolerates bf16
-        return warp_affine_elastic(
+        out = warp_affine_elastic(
             x - background, mats, disp, beta_max=beta_max, disp_max=disp_max,
             compute_dtype=jnp.bfloat16,
         ) + background
+        return out.astype(out_dtype)
     coords = affine_grid(mats, H, W)
     if disp is not None:
         coords = coords + disp
-    return warp_bilinear(x - background, coords) + background
+    return (warp_bilinear(x - background, coords) + background).astype(out_dtype)
 
 
 def augment_two_views(
@@ -315,6 +324,7 @@ def augment_two_views(
     mean: float,
     std: float,
     train: bool = True,
+    out_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Augment both CLIP views in ONE warp invocation.
 
@@ -324,7 +334,7 @@ def augment_two_views(
     identical to two independent augment_batch calls."""
     B = images.shape[0]
     both = jnp.concatenate([images, views], axis=0)
-    out = augment_batch(both, rng, cfg, mean, std, train=train)
+    out = augment_batch(both, rng, cfg, mean, std, train=train, out_dtype=out_dtype)
     return out[:B], out[B:]
 
 

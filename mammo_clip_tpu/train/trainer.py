@@ -38,6 +38,15 @@ def make_clip_preprocess(cfg: Config) -> Callable:
     """On-device augmentation + normalization hook for the CLIP train step."""
     aug = AugmentConfig.from_dict(cfg.augment.to_dict())
     mean, std = cfg.data.mean, cfg.data.std
+    # the TPU-native recipe emits augmented images in bf16 (the encoder casts
+    # at entry anyway; halves the full-res bytes between warp and stem). The
+    # compat path stays fp32 end-to-end. Override with augment.out_bf16.
+    out_dtype = None
+    if cfg.augment.get("out_bf16",
+                       bool(cfg.model.image_encoder.get("tpu_optimized", False))):
+        import jax.numpy as jnp
+
+        out_dtype = jnp.bfloat16
 
     def preprocess(batch, rng):
         batch = dict(batch)
@@ -49,10 +58,12 @@ def make_clip_preprocess(cfg: Config) -> Callable:
         if "image_views" in batch:
             # one warp invocation for both views (halves the fixed per-call costs)
             batch["images"], batch["image_views"] = augment_two_views(
-                batch["images"], batch["image_views"], rng, aug, mean, std, train=True
+                batch["images"], batch["image_views"], rng, aug, mean, std, train=True,
+                out_dtype=out_dtype,
             )
         else:
-            batch["images"] = augment_batch(batch["images"], rng, aug, mean, std, train=True)
+            batch["images"] = augment_batch(batch["images"], rng, aug, mean, std, train=True,
+                                            out_dtype=out_dtype)
         return batch
 
     return preprocess

@@ -168,7 +168,7 @@ def test_tpu_optimized_variant_trains():
 def test_tpu_dense_widths_remap():
     """tpu_dense_widths: every deep-stage tensor width in the flagship is a
     128-multiple — I/O widths snap to the NEAREST multiple (B5: 64->128,
-    176->128, 304->256), expanded widths round UP (1056->1152, 1824->1920) so
+    176->128, 304->256), expanded widths snap to the nearest multiple (1056->1024, 1824->1792) so
     capacity survives the rounding (VERDICT r2 #2: no lane pads left)."""
     import dataclasses
 

@@ -412,3 +412,27 @@ def test_restore_pre_ema_checkpoint_reseeds_ema(tmp_path):
     # EMA re-seeded from the restored params, not the template placeholder
     np.testing.assert_allclose(np.asarray(restored.ema_params["w"]), [1.0, 2.0])
     assert int(restored.step) == 3
+
+
+def test_clip_preprocess_bf16_output_flagship_only():
+    """The TPU-native recipe emits augmented images in bf16 (halves full-res
+    bytes between warp and stem); the compat path stays fp32 (r3)."""
+    from mammo_clip_tpu.core.config import tiny_test_config
+    from mammo_clip_tpu.train.trainer import make_clip_preprocess
+
+    batch = {"images": jnp.zeros((2, 16, 16, 1), jnp.uint8),
+             "image_views": jnp.zeros((2, 16, 16, 1), jnp.uint8)}
+    rng = jax.random.PRNGKey(0)
+
+    cfg = tiny_test_config()
+    out = make_clip_preprocess(cfg)(dict(batch), rng)
+    assert out["images"].dtype == jnp.float32
+
+    cfg.model.image_encoder.tpu_optimized = True
+    out = make_clip_preprocess(cfg)(dict(batch), rng)
+    assert out["images"].dtype == jnp.bfloat16
+    assert out["image_views"].dtype == jnp.bfloat16
+    # explicit override wins
+    cfg.augment["out_bf16"] = False
+    out = make_clip_preprocess(cfg)(dict(batch), rng)
+    assert out["images"].dtype == jnp.float32
