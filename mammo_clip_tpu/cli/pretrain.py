@@ -24,6 +24,10 @@ def main(argv=None) -> None:
     ap.add_argument("--variant", default="b5", choices=["b2", "b5"])
     ap.add_argument("--workdir", default="outputs/pretrain")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--warm-start-from", default=None,
+                    help="checkpoint dir of a reference-exact model to seed a "
+                    "tpu_optimized run from (convert/flagship_init; deep "
+                    "stages + text tower copied, s2d front fresh)")
     ap.add_argument("--fold", type=int, default=0)
     ap.add_argument("--data-frac", type=float, default=1.0)
     ap.add_argument("overrides", nargs="*", help="dotted-path config overrides (a.b=c)")
@@ -57,6 +61,7 @@ def main(argv=None) -> None:
         valid_batches,
         steps_per_epoch=len(train_b),
         resume=args.resume,
+        warm_start_from=args.warm_start_from,
     )
 
 

@@ -125,6 +125,7 @@ class Trainer:
         valid_batches: Optional[Callable[[int], Iterable]] = None,
         steps_per_epoch: Optional[int] = None,
         resume: bool = False,
+        warm_start_from: Optional[str] = None,
     ):
         cfg = self.cfg
         epochs = cfg.scheduler.epochs
@@ -132,6 +133,19 @@ class Trainer:
         example = self.preprocess({k: v for k, v in first.items()}, None)
         assert steps_per_epoch, "steps_per_epoch required (len(batcher))"
         state, tx = self._build_state(example, steps_per_epoch)
+        if warm_start_from:
+            # seed from a reference-exact checkpoint (convert/flagship_init):
+            # deep stages / text tower / projections copied, s2d front fresh
+            from ..convert.flagship_init import flagship_warm_start
+            from ..eval.loading import load_clip_for_eval
+
+            _, src_vars, _ = load_clip_for_eval(warm_start_from)
+            seeded = flagship_warm_start(
+                src_vars, {"params": state.params, "batch_stats": state.batch_stats})
+            state = state.replace(params=seeded["params"],
+                                  batch_stats=seeded["batch_stats"])
+            if is_master():
+                print(f"warm-started from {warm_start_from}")
         start_epoch = 0
         best_val = np.inf
         if resume:

@@ -417,3 +417,70 @@ def test_hf_swin_conversion_matches_hf():
     np.testing.assert_allclose(
         np.asarray(out["features"]).reshape(B, H * W, C), ref_seq, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["pooled"]), ref_pooled, atol=2e-4)
+
+
+def test_flagship_warm_start_from_compat():
+    """ROADMAP r3 #10: the tpu_optimized flagship seeds its deep stages, text
+    tower, projections, and logit_scale from a reference-exact checkpoint; the
+    s2d front keeps fresh init; remapped widths copy the overlapping slab."""
+    from mammo_clip_tpu.convert.flagship_init import flagship_warm_start
+    from mammo_clip_tpu.core.config import tiny_test_config
+    from mammo_clip_tpu.models import build_model
+
+    cfg = tiny_test_config()
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+    rng0 = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng0.normal(size=(2, h, w, 1)), jnp.float32),
+        "input_ids": jnp.ones((2, 8), jnp.int32),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+    }
+
+    compat = build_model(cfg.model.to_dict())
+    vc = jax.jit(lambda r: compat.init(r, batch, train=False))(
+        {"params": jax.random.PRNGKey(1)})
+
+    cfg.model.image_encoder.tpu_optimized = True
+    flag = build_model(cfg.model.to_dict())
+    vf = jax.jit(lambda r: flag.init(r, batch, train=False))(
+        {"params": jax.random.PRNGKey(2)})
+
+    seeded = flagship_warm_start(
+        {"params": vc["params"], "batch_stats": vc["batch_stats"]},
+        {"params": vf["params"], "batch_stats": vf["batch_stats"]})
+
+    # structure matches the flagship exactly
+    assert (jax.tree_util.tree_structure(seeded["params"])
+            == jax.tree_util.tree_structure(vf["params"]))
+
+    # identical components copied verbatim
+    np.testing.assert_array_equal(
+        np.asarray(seeded["params"]["logit_scale"]),
+        np.asarray(vc["params"]["logit_scale"]))
+    np.testing.assert_array_equal(
+        np.asarray(seeded["params"]["text_encoder"]["layer_0"]["intermediate"]["kernel"]),
+        np.asarray(vc["params"]["text_encoder"]["layer_0"]["intermediate"]["kernel"]))
+
+    # a deep block with remapped width: overlapping slab copied, rest fresh
+    enc_c = vc["params"]["image_encoder"]
+    enc_f = vf["params"]["image_encoder"]
+    enc_s = seeded["params"]["image_encoder"]
+    deep = sorted(k for k in enc_s if k.startswith("block_"))[-1]
+    assert deep in enc_c, deep
+    kc = np.asarray(enc_c[deep]["project_conv"]["kernel"])
+    ks = np.asarray(enc_s[deep]["project_conv"]["kernel"])
+    kf = np.asarray(enc_f[deep]["project_conv"]["kernel"])
+    sl = tuple(slice(0, min(a, b)) for a, b in zip(kc.shape, ks.shape))
+    np.testing.assert_array_equal(ks[sl], kc[sl])
+    if ks.shape != kc.shape:
+        # non-overlapping channels keep the flagship's fresh init
+        assert ks.shape == kf.shape
+
+    # the s2d front has no reference analogue -> fresh init preserved
+    np.testing.assert_array_equal(
+        np.asarray(enc_s["tpu_stem_conv"]["kernel"]),
+        np.asarray(enc_f["tpu_stem_conv"]["kernel"]))
+
+    # and the seeded variables actually run through the flagship forward
+    out = flag.apply(seeded, batch, train=False)
+    assert np.all(np.isfinite(np.asarray(out["image_embeddings"])))

