@@ -36,6 +36,9 @@ def main() -> None:
                     help="with --tpu-opt: front-end expand_ratio")
     ap.add_argument("--int8", action="store_true",
                     help="int8 MXU matmuls for the k5 stages' 1x1 convs")
+    ap.add_argument("--flat-opt", action="store_true",
+                    help="optax.flatten the optimizer (one fused update chain "
+                    "instead of ~600 per-leaf ops)")
     ap.add_argument("--no-dense-widths", action="store_true",
                     help="with --tpu-opt: keep the r2 deep-stage widths "
                     "(reproduces the round-2 flagship exactly)")
@@ -96,6 +99,8 @@ def main() -> None:
         cfg.model.image_encoder.remat_max_reduction = args.remat_max
     if args.int8:
         cfg.model.image_encoder.quant_int8_k5 = True
+    if args.flat_opt:
+        cfg.optimizer.flatten = True
     B = args.batch
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
@@ -110,7 +115,8 @@ def main() -> None:
     def preprocess(batch, rng):
         batch = dict(batch)
         batch["images"], batch["image_views"] = augment_two_views(
-            batch["images"], batch["image_views"], rng, aug, mean, std, train=True
+            batch["images"], batch["image_views"], rng, aug, mean, std, train=True,
+            out_dtype=jnp.bfloat16 if args.tpu_opt else None,  # flagship recipe
         )
         return batch
 

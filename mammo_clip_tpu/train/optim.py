@@ -60,6 +60,17 @@ def build_optimizer(
     clip = config.get("grad_clip_norm")
     if clip:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    if config.get("flatten", False):
+        assert not no_decay_patterns, (
+            "optimizer.flatten is incompatible with no_decay_patterns: the "
+            "decay mask is a per-leaf pytree and cannot follow the flattened "
+            "parameter vector")
+        # run the update on ONE flattened vector instead of ~600 small leaves:
+        # the per-leaf HLO ops cost ~1us fixed each on TPU and dominate the
+        # profile's unattributed tail (BASELINE.md r3 'other' bucket). Only
+        # valid when no transform above is mask-/tree-structure-dependent
+        # (no_decay masks are applied per-leaf BEFORE flattening by optax).
+        tx = optax.flatten(tx)
     accum = int(config.get("grad_accum_steps", 1) or 1)
     if accum > 1:
         # large-batch parity on few chips (a knob the reference lacks — its

@@ -436,3 +436,34 @@ def test_clip_preprocess_bf16_output_flagship_only():
     cfg.augment["out_bf16"] = False
     out = make_clip_preprocess(cfg)(dict(batch), rng)
     assert out["images"].dtype == jnp.float32
+
+
+def test_flattened_optimizer_matches_per_leaf():
+    """optimizer.flatten=True (one fused update chain, BASELINE r3 'other'
+    tail) is numerically identical to the per-leaf AdamW it wraps."""
+    from mammo_clip_tpu.train.optim import build_optimizer
+
+    cfg = {"name": "adamw", "weight_decay": 1e-4, "grad_clip_norm": 1.0}
+    params = {"a": jnp.asarray([[1.0, -2.0], [0.5, 3.0]]),
+              "b": {"c": jnp.asarray([0.1, 0.2, 0.3])}}
+    grads = {"a": jnp.asarray([[0.3, -0.1], [2.0, 0.7]]),
+             "b": {"c": jnp.asarray([-0.5, 0.0, 1.5])}}
+    import optax
+
+    tx1 = build_optimizer(dict(cfg), lambda s: 1e-2)
+    tx2 = build_optimizer({**cfg, "flatten": True}, lambda s: 1e-2)
+    p1, p2 = params, params
+    s1, s2 = tx1.init(p1), tx2.init(p2)
+    for _ in range(3):
+        u1, s1 = tx1.update(grads, s1, p1)
+        p1 = optax.apply_updates(p1, u1)
+        u2, s2 = tx2.update(grads, s2, p2)
+        p2 = optax.apply_updates(p2, u2)
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+
+    # incompatible with per-leaf decay masks - must refuse loudly
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        build_optimizer({**cfg, "flatten": True}, lambda s: 1e-2,
+                        params=params, no_decay_patterns=["b/c"])
