@@ -51,14 +51,15 @@ class MammoClassifier(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        ie = dict(self.image_encoder_config)
-        self.encoder = EfficientNet(
-            variant=efficientnet_variant(ie["name"]),
-            in_channels=ie.get("in_channels", 1),
-            remat=ie.get("remat", False),
-            dtype=self.dtype,
-            name="image_encoder",
-        )
+        # the SHARED encoder factory: every flag in the checkpoint-embedded
+        # config (tpu_optimized/front/dense-width, s2d_exec, pooling, ...)
+        # takes effect here too, so flagship checkpoints fine-tune downstream
+        # (r3; factory names the module "image_encoder" = the weight-injection
+        # contract the CLIs rely on)
+        from ..models.clip import load_image_encoder
+
+        self.encoder = load_image_encoder(dict(self.image_encoder_config),
+                                          dtype=self.dtype)
         self.head = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")
 
     def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:

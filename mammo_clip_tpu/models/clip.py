@@ -103,6 +103,7 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
     return EfficientNet(
         variant=efficientnet_variant(name),
         in_channels=config.get("in_channels", 1),
+        feature_taps=tuple(config.get("feature_taps", ())),
         remat=config.get("remat", False),
         remat_max_reduction=config.get("remat_max_reduction", 16),
         packed_residuals=config.get("packed_residuals", False),

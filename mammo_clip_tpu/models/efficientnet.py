@@ -550,7 +550,10 @@ class EfficientNet(nn.Module):
     #   Stages 3+ keep the reference topology apart from stage 3's entry block
     #   taking C=128 (expand_ratio 2, same expanded width ballpark as the
     #   original 240) and, with ``tpu_dense_widths``, the 128-multiple width
-    #   remap below. CLIP-pretraining only: feature_taps must be empty.
+    #   remap below. feature_taps are allowed at DEEP blocks (>= the replaced
+    #   front) — the detector's b5 [26,37] taps qualify, so flagship
+    #   checkpoints back the downstream detector too (tap widths follow the
+    #   dense remap).
     tpu_front_blocks: int = 2  # with tpu_optimized: number of MBConv blocks in
     #   the space-to-depth front end (each C=128 at 1/4 resolution)
     tpu_front_expand: int = 1  # their expand_ratio. The front is ~20% of the
@@ -600,7 +603,6 @@ class EfficientNet(nn.Module):
         x = x.astype(self.dtype)
         block_offset = 0
         if self.tpu_optimized:
-            assert not self.feature_taps, "tpu_optimized supports pretraining only"
             assert not (self.s2d_exec or self.fused_mbconv), (
                 "tpu_optimized is its own layout regime")
             n, h, w, c = x.shape
@@ -627,6 +629,12 @@ class EfficientNet(nn.Module):
                     break
                 sc *= a.stride
                 skip += 1
+            # taps at deep blocks (>= skip) survive the front-end replacement —
+            # the detector's b5 [26,37] taps both live in stages 5/7 (original
+            # block numbering is preserved for deep blocks)
+            assert all(t >= skip for t in self.feature_taps), (
+                f"tpu_optimized replaces blocks < {skip}; "
+                f"feature_taps {self.feature_taps} reach into the removed front")
             entry = args[skip]
             args = [dataclasses.replace(entry, in_filters=128, expand_ratio=2)] + args[skip + 1:]
             if self.tpu_dense_widths:

@@ -31,7 +31,7 @@ import numpy as np
 from ..ops.boxes import build_anchors, clip_boxes, decode_boxes
 from ..ops.nms import batched_class_nms
 from .clip import efficientnet_variant
-from .efficientnet import EfficientNet, default_detector_taps
+from .efficientnet import default_detector_taps
 
 
 def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
@@ -130,16 +130,16 @@ class RetinaNet(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        # shared encoder factory (r3): the checkpoint-embedded config's flags
+        # (tpu_optimized recipe incl. dense widths, s2d_exec, ...) all apply,
+        # so flagship checkpoints back the detector too. The b5/b2 taps live
+        # in deep blocks that survive the flagship's front-end replacement.
+        from .clip import load_image_encoder
+
         ie = dict(self.image_encoder_config)
         variant = efficientnet_variant(ie["name"])
-        self.backbone = EfficientNet(
-            variant=variant,
-            in_channels=ie.get("in_channels", 1),
-            feature_taps=default_detector_taps(variant),
-            remat=ie.get("remat", False),
-            dtype=self.dtype,
-            name="image_encoder",
-        )
+        ie["feature_taps"] = default_detector_taps(variant)
+        self.backbone = load_image_encoder(ie, dtype=self.dtype)
         self.fpn = FPN(self.feature_size, dtype=self.dtype)
         self.box_subnet = BoxSubnet(dtype=self.dtype)
         self.class_subnet = ClassSubnet(num_classes=self.num_classes, dtype=self.dtype)

@@ -256,3 +256,45 @@ def test_classifier_resume_and_predictions_artifact(tmp_path):
         **{**kw, "epochs": 3})
     assert len(res2["history"]) == len(res1["history"]) + 1
     assert res2["best_metric"] >= res1["best_metric"] - 1e-9
+
+
+def test_flagship_checkpoint_backs_downstream_models():
+    """r3: the downstream models build their encoder through the SHARED factory,
+    so a tpu_optimized (flagship) checkpoint config produces a matching encoder
+    in the classifier AND the detector (taps live in deep blocks that survive
+    the front-end replacement; widths follow the dense remap)."""
+    from mammo_clip_tpu.models.retinanet import RetinaNet, anchors_for
+    from mammo_clip_tpu.losses.focal import focal_loss
+
+    ie = {"name": "efficientnet-b0", "in_channels": 1, "tpu_optimized": True}
+    h = w = 64
+
+    clf = MammoClassifier(image_encoder_config=ie, num_classes=1,
+                          freeze_encoder=False)
+    v = jax.jit(lambda: clf.init({"params": jax.random.PRNGKey(0)},
+                                 jnp.zeros((1, h, w, 1)), train=False))()
+    assert "tpu_front_block_0" in v["params"]["image_encoder"], (
+        "classifier encoder ignored tpu_optimized")
+    out = clf.apply(v, jnp.ones((2, h, w, 1)), train=False)
+    assert out["logits"].shape == (2, 1)
+
+    det = RetinaNet(image_encoder_config=ie, num_classes=3)
+    vd = jax.jit(lambda: det.init({"params": jax.random.PRNGKey(0)},
+                                  jnp.zeros((1, h, w, 1)), train=False))()
+    assert "tpu_front_block_0" in vd["params"]["image_encoder"]
+    o = det.apply(vd, jnp.ones((2, h, w, 1)), train=False)
+    anchors = anchors_for((h, w))
+    assert o["class_probs"].shape[1] == anchors.shape[0]
+    # gradients flow through the flagship backbone into the focal loss
+    ann = jnp.asarray(np.broadcast_to(
+        np.asarray([[4.0, 4.0, 20.0, 20.0, 0.0]], np.float32), (2, 1, 5)))
+
+    def loss(params):
+        o = det.apply({"params": params, "batch_stats": vd["batch_stats"]},
+                      jnp.ones((2, h, w, 1)), train=False)
+        return focal_loss(o["class_probs"], o["box_deltas"],
+                          jnp.asarray(anchors), ann)["total"]
+
+    g = jax.grad(loss)(vd["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
