@@ -44,6 +44,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="all", choices=["all", "lp", "ft", "det"])
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--flagship", action="store_true",
+                    help="tpu_optimized backbone (factory passthrough, r3) "
+                    "instead of the reference-exact encoder")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +73,8 @@ def main() -> None:
         H, W = 1520, 912
         model = MammoClassifier(
             image_encoder_config={"name": "efficientnet-b5", "in_channels": 1,
-                                  "remat": not freeze},
+                                  "remat": not (freeze or args.flagship),
+                                  "tpu_optimized": args.flagship},
             num_classes=1, freeze_encoder=freeze, dtype=jnp.bfloat16)
         variables = jax.jit(lambda: model.init(
             {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, H, W, 1)), train=False))()
@@ -99,7 +103,8 @@ def main() -> None:
             holder.append(loss)
 
         ms = _sync_time(run, lambda: float(holder[-1]))
-        print(json.dumps({"bench": "classifier_" + ("lp" if freeze else "ft"),
+        print(json.dumps({"bench": ("flagship_" if args.flagship else "")
+                          + "classifier_" + ("lp" if freeze else "ft"),
                           "resolution": f"{H}x{W}", "batch": B,
                           "ms_per_step": round(ms, 1),
                           "images_per_sec": round(B / (ms / 1e3), 1)}))
@@ -112,7 +117,8 @@ def main() -> None:
 
         H = W = 512
         model = RetinaNet(
-            image_encoder_config={"name": "efficientnet-b5", "in_channels": 1},
+            image_encoder_config={"name": "efficientnet-b5", "in_channels": 1,
+                                  "tpu_optimized": args.flagship},
             num_classes=len(VINDR_DETECTION_CLASSES), dtype=jnp.bfloat16)
         variables = jax.jit(lambda: model.init(
             {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, H, W, 1)), train=False))()
@@ -148,7 +154,8 @@ def main() -> None:
         ms = _sync_time(run, lambda: float(jnp.sum(holder[-1]["total"])
                                            if isinstance(holder[-1], dict)
                                            else holder[-1]))
-        print(json.dumps({"bench": "detector", "resolution": f"{H}x{W}",
+        print(json.dumps({"bench": ("flagship_" if args.flagship else "") + "detector",
+                          "resolution": f"{H}x{W}",
                           "batch": B, "ms_per_step": round(ms, 1),
                           "images_per_sec": round(B / (ms / 1e3), 1)}))
 

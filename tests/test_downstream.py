@@ -298,3 +298,32 @@ def test_flagship_checkpoint_backs_downstream_models():
     g = jax.grad(loss)(vd["params"])
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_rescore_cli_reads_predictions_artifact(tmp_path):
+    """cli/rescore recomputes metrics from the persisted predictions sidecar
+    alone (reference offline re-scoring, Classifiers/experiments.py:193-222)."""
+    import json as _json
+
+    from mammo_clip_tpu.cli import rescore
+    from mammo_clip_tpu.train.checkpoint import save_checkpoint
+    from mammo_clip_tpu.train.state import TrainState
+    import optax
+
+    tx = optax.sgd(0.1)
+    params = {"w": jnp.zeros(2)}
+    state = TrainState(step=jnp.asarray(1, jnp.int32), params=params,
+                       batch_stats={}, opt_state=tx.init(params), tx=tx)
+    rng = np.random.default_rng(0)
+    labels = (np.arange(20) % 2).astype(np.float32)
+    preds = labels * 0.8 + rng.uniform(0, 0.2, 20)
+    save_checkpoint(str(tmp_path / "best"), state, max_to_keep=1,
+                    extra_arrays={"predictions": preds, "labels": labels})
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rescore.main(["--checkpoint", str(tmp_path / "best")])
+    out = _json.loads(buf.getvalue().strip())
+    assert out["n"] == 20 and out["auroc"] > 0.99 and out["accuracy"] > 0.9
