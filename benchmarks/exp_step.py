@@ -39,6 +39,15 @@ def main() -> None:
     ap.add_argument("--flat-opt", action="store_true",
                     help="optax.flatten the optimizer (one fused update chain "
                     "instead of ~600 per-leaf ops)")
+    ap.add_argument("--flat-small", type=int, default=None, metavar="BYTES",
+                    help="bucketed optimizer fusion: fuse leaves <= BYTES into "
+                    "one flat update vector, keep big conv kernels per-leaf")
+    ap.add_argument("--slim-stage3", type=int, default=None, metavar="E",
+                    help="with --tpu-opt: expanded-width override for the "
+                    "E=384 k5 stage (capacity-cut probe, ROADMAP #2)")
+    ap.add_argument("--fused-qkv", action="store_true",
+                    help="BERT Q/K/V as one (H,3H) MXU matmul (param tree "
+                    "unchanged; BASELINE r3 BERT-MFU item)")
     ap.add_argument("--no-dense-widths", action="store_true",
                     help="with --tpu-opt: keep the r2 deep-stage widths "
                     "(reproduces the round-2 flagship exactly)")
@@ -48,6 +57,11 @@ def main() -> None:
     ap.add_argument("--s2d", action="store_true",
                     help="exact space-to-depth EXECUTION of the standard encoder "
                     "(same function/params, 4x lane-denser early stages)")
+    ap.add_argument("--xla-opt", action="append", default=[], metavar="K=V",
+                    help="TPU compiler option passed to lowered.compile() "
+                    "(e.g. xla_tpu_scoped_vmem_limit_kib=65536); the local "
+                    "CPU-only client rejects TPU flags in XLA_FLAGS, so this "
+                    "is the only way to reach the remote compile service")
     ap.add_argument("--compile-only", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--group", type=int, default=5)
@@ -101,6 +115,12 @@ def main() -> None:
         cfg.model.image_encoder.quant_int8_k5 = True
     if args.flat_opt:
         cfg.optimizer.flatten = True
+    if args.flat_small is not None:
+        cfg.optimizer.flatten_small_bytes = args.flat_small
+    if args.fused_qkv:
+        cfg.model.text_encoder.fused_qkv = True
+    if args.slim_stage3 is not None:
+        cfg.model.image_encoder.tpu_slim_stage3 = args.slim_stage3
     B = args.batch
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
@@ -138,7 +158,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     lowered = train_step.lower(state, batch, jax.random.PRNGKey(1))
-    compiled = lowered.compile()
+    copts = dict(kv.split("=", 1) for kv in args.xla_opt)
+    compiled = lowered.compile(compiler_options=copts) if copts else lowered.compile()
     compile_s = time.perf_counter() - t0
     mem = {}
     try:
@@ -164,16 +185,18 @@ def main() -> None:
         **mem,
     }
     if not args.compile_only:
+        # run the AOT executable (NOT the jit fn): it is the one carrying any
+        # --xla-opt compiler options
         step_rng = jax.random.PRNGKey(1)
         for _ in range(3):
-            state, loss_dict = train_step(state, batch, step_rng)
+            state, loss_dict = compiled(state, batch, step_rng)
             warm = float(loss_dict["total"])
         assert np.isfinite(warm), f"non-finite loss {warm}"
         times = []
         for _ in range(max(1, args.steps // args.group)):
             t0 = time.perf_counter()
             for _ in range(args.group):
-                state, loss_dict = train_step(state, batch, step_rng)
+                state, loss_dict = compiled(state, batch, step_rng)
             _ = float(loss_dict["total"])
             times.append((time.perf_counter() - t0) / args.group)
         median = sorted(times)[len(times) // 2]

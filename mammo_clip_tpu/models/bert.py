@@ -41,12 +41,40 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     dropout_rate: float = 0.1
     remat: bool = False
+    fused_qkv: bool = False  # compute Q/K/V as ONE (H, 3H) MXU matmul by
+    #   concatenating the three projection kernels at run time. The param tree
+    #   is unchanged (query/key/value DenseGeneral leaves), so HF checkpoint
+    #   import (convert/torch_import.py) and existing checkpoints are
+    #   unaffected; the concat costs ~7 MB of fp32 reads per layer — noise
+    #   next to the matmul. Opt-in perf experiment for the BERT MFU item
+    #   (BASELINE.md r3 profile: 22 ms, ~48% MFU).
 
     @classmethod
     def tiny(cls) -> "BertConfig":
         """Small config for tests."""
         return cls(vocab_size=128, hidden_size=32, num_layers=2, num_heads=2,
                    intermediate_size=64, max_position_embeddings=64)
+
+
+class _ProjParams(nn.Module):
+    """Holds DenseGeneral-shaped Q/K/V projection params WITHOUT computing the
+    matmul — the fused-QKV path concatenates them into one (H, 3H) kernel.
+    Param names/shapes/init match nn.DenseGeneral exactly, so the tree is
+    indistinguishable from the unfused path (checkpoints interchange freely)."""
+
+    in_dim: int
+    features: tuple  # (num_heads, head_dim)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_dim, *self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), self.features, jnp.float32)
+        return kernel, bias
 
 
 class BertSelfAttention(nn.Module):
@@ -57,12 +85,28 @@ class BertSelfAttention(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         cfg = self.cfg
         head_dim = cfg.hidden_size // cfg.num_heads
-        dense = lambda name: nn.DenseGeneral(
-            (cfg.num_heads, head_dim), dtype=self.dtype, name=name
-        )
-        q = dense("query")(x)
-        k = dense("key")(x)
-        v = dense("value")(x)
+        if cfg.fused_qkv:
+            H = cfg.hidden_size
+            pp = [
+                _ProjParams(H, (cfg.num_heads, head_dim), name=n)()
+                for n in ("query", "key", "value")
+            ]
+            wqkv = jnp.concatenate(
+                [k.reshape(H, -1) for k, _ in pp], axis=-1
+            ).astype(self.dtype)
+            bqkv = jnp.concatenate([b.reshape(-1) for _, b in pp]).astype(self.dtype)
+            qkv = x @ wqkv + bqkv  # (B, S, 3H) — one MXU launch
+            q, k, v = (
+                t.reshape(*x.shape[:-1], cfg.num_heads, head_dim)
+                for t in jnp.split(qkv, 3, axis=-1)
+            )
+        else:
+            dense = lambda name: nn.DenseGeneral(
+                (cfg.num_heads, head_dim), dtype=self.dtype, name=name
+            )
+            q = dense("query")(x)
+            k = dense("key")(x)
+            v = dense("value")(x)
         # (B, S, N, D) -> attention over S with additive mask.
         scale = head_dim**-0.5
         logits = jnp.einsum("bqnd,bknd->bnqk", q * scale, k)

@@ -40,6 +40,7 @@ def bert_config_from_model_config(model_config: Dict) -> BertConfig:
         intermediate_size=t.get("intermediate_size", 3072),
         max_position_embeddings=t.get("max_position_embeddings", 512),
         remat=t.get("gradient_checkpointing", False),
+        fused_qkv=t.get("fused_qkv", False),
     )
 
 
@@ -113,6 +114,7 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
         tpu_front_blocks=config.get("tpu_front_blocks", 2),
         tpu_front_expand=config.get("tpu_front_expand", 1),
         tpu_dense_widths=config.get("tpu_dense_widths", True),
+        tpu_slim_stage3=config.get("tpu_slim_stage3", 0),
         quant_int8_k5=config.get("quant_int8_k5", False),
         pooling=config.get("pooling", "avg"),
         dtype=dtype,

@@ -572,6 +572,12 @@ class EfficientNet(nn.Module):
     #   tensors stop paying pad bytes — the r2 profile's
     #   "architecture-intrinsic" lane pads eliminated (VERDICT r2 #2).
     #   False reproduces the round-2 flagship exactly.
+    tpu_slim_stage3: int = 0  # with tpu_optimized: override the expanded width
+    #   of the E=384 k5 stage (B5 stage3 — the r3 profile's biggest component,
+    #   64 ms, 100% HBM-bound; ROADMAP #2). e.g. 256 cuts that stage's bytes
+    #   ~1/3. This is a CAPACITY cut, not a layout fix: opt-in, quality-gated
+    #   only by the toy bar (tests/test_clip_learns.py); real-data evidence
+    #   pending egress. 0 = off (default recipe).
     quant_int8_k5: bool = False  # run the k5 stages' (B5: stages 3/5/6) 1x1
     #   expand/project convs as int8 MXU matmuls (ops/quant.py; VERDICT r2 #5,
     #   v5e int8 MXU). Checkpoint-identical param tree; forward-only
@@ -653,6 +659,12 @@ class EfficientNet(nn.Module):
                         out_filters=_nearest128(a.out_filters),
                         expand_filters=_nearest128(a.expanded),
                     )
+                    for a in args
+                ]
+            if self.tpu_slim_stage3:
+                args = [
+                    dataclasses.replace(a, expand_filters=self.tpu_slim_stage3)
+                    if (a.kernel == 5 and a.expanded == 384) else a
                     for a in args
                 ]
             block_offset = skip

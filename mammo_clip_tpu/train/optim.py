@@ -26,6 +26,93 @@ def _decay_mask(params, no_decay_patterns: Sequence[str]):
     )
 
 
+def _hybrid_views(tree, threshold_bytes: int):
+    """Split a pytree's leaves into one flat vector per dtype (leaves whose
+    byte size is <= threshold) plus the remaining big leaves kept as-is.
+
+    The assignment depends only on leaf shapes/dtypes, so it is identical on
+    every call under jit tracing. Returns (hybrid, rebuild) where ``hybrid``
+    is {"flat": {dtype_name: vec}, "big": [leaf, ...]} and ``rebuild`` maps a
+    same-structured hybrid back to the original tree structure.
+    """
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    small_idx, flat_groups = [], {}
+    for i, leaf in enumerate(leaves):
+        nbytes = leaf.size * leaf.dtype.itemsize
+        if nbytes <= threshold_bytes:
+            small_idx.append(i)
+            flat_groups.setdefault(str(leaf.dtype), []).append(i)
+    hybrid = {
+        "flat": {
+            d: jnp.concatenate([leaves[i].ravel() for i in idxs])
+            for d, idxs in flat_groups.items()
+        },
+        "big": [leaves[i] for i in range(len(leaves)) if i not in set(small_idx)],
+    }
+    shapes = [leaves[i].shape for i in range(len(leaves))]
+
+    def rebuild(h):
+        out = [None] * len(leaves)
+        for d, idxs in flat_groups.items():
+            vec, off = h["flat"][d], 0
+            for i in idxs:
+                n = int(np_prod(shapes[i]))
+                out[i] = vec[off:off + n].reshape(shapes[i])
+                off += n
+        big_iter = iter(h["big"])
+        for i in range(len(leaves)):
+            if out[i] is None:
+                out[i] = next(big_iter)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return hybrid, rebuild
+
+
+def np_prod(shape) -> int:
+    n = 1
+    for s in shape:
+        n *= int(s)
+    return n
+
+
+def flatten_small(
+    inner: optax.GradientTransformation, threshold_bytes: int = 1 << 18
+) -> optax.GradientTransformation:
+    """Bucketed optax.flatten: fuse only the SMALL leaves into one vector.
+
+    Rationale (BASELINE.md r3 optimizer-tail probes): per-leaf update ops cost
+    ~1us fixed each on TPU and the param tree has ~600 leaves, but full
+    optax.flatten moves 0.6 GB/step of fp32 copies for the big conv kernels
+    and measured NEGATIVE. The launch tail is leaf-COUNT-dominated while the
+    copy traffic is leaf-BYTES-dominated, and the distributions are opposite:
+    most leaves are tiny (BN scales/biases, biases, small kernels). Fusing
+    only leaves <= threshold kills most of the op tail while copying only a
+    few MB. Valid only for elementwise inner transforms (+ global-norm clip,
+    which sums the same squares either way) — same contract as optax.flatten.
+
+    Single-chip knob: on a mesh, shard_train_state places optimizer moments by
+    matching param paths, which the hybrid {"flat","big"} tree doesn't follow —
+    those moments would replicate (correct, but defeats FSDP). Keep it off for
+    sharded training.
+    """
+
+    def init(params):
+        hybrid, _ = _hybrid_views(params, threshold_bytes)
+        return inner.init(hybrid)
+
+    def update(updates, state, params=None):
+        h_up, rebuild = _hybrid_views(updates, threshold_bytes)
+        h_par = None
+        if params is not None:
+            h_par, _ = _hybrid_views(params, threshold_bytes)
+        new_up, new_state = inner.update(h_up, state, h_par)
+        return rebuild(new_up), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     config: dict,
     schedule,
@@ -71,6 +158,13 @@ def build_optimizer(
         # valid when no transform above is mask-/tree-structure-dependent
         # (no_decay masks are applied per-leaf BEFORE flattening by optax).
         tx = optax.flatten(tx)
+    small = config.get("flatten_small_bytes")
+    if small:
+        assert not no_decay_patterns, (
+            "optimizer.flatten_small_bytes is incompatible with "
+            "no_decay_patterns (per-leaf mask cannot follow fused leaves)")
+        assert not config.get("flatten", False), "pick one flatten mode"
+        tx = flatten_small(tx, threshold_bytes=int(small))
     accum = int(config.get("grad_accum_steps", 1) or 1)
     if accum > 1:
         # large-batch parity on few chips (a knob the reference lacks — its

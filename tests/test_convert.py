@@ -77,6 +77,36 @@ def test_bert_conversion_matches_hf():
     np.testing.assert_allclose(np.asarray(out)[valid], ref[valid], atol=2e-4)
 
 
+def test_bert_fused_qkv_same_params_same_outputs():
+    """text_encoder.fused_qkv=True computes Q/K/V as one (H,3H) matmul but
+    keeps the DenseGeneral param tree — the SAME params must produce the same
+    hidden states through both paths (checkpoints interchange freely)."""
+    cfg = BertConfig(
+        vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=48, dropout_rate=0.0,
+    )
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, 120, (3, 16), dtype=np.int32))
+    mask = np.ones((3, 16), np.int32)
+    mask[1, 10:] = 0
+    mask = jnp.asarray(mask)
+
+    import dataclasses
+
+    base = BertEncoder(cfg)
+    fused = BertEncoder(dataclasses.replace(cfg, fused_qkv=True))
+    params = base.init(jax.random.PRNGKey(0), ids, mask, deterministic=True)["params"]
+    # identical trees (leaf names AND shapes) — the interchange contract
+    pf = fused.init(jax.random.PRNGKey(0), ids, mask, deterministic=True)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(pf)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(pf)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    out1 = base.apply({"params": params}, ids, mask, deterministic=True)
+    out2 = fused.apply({"params": params}, ids, mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
 def _fake_efficientnet_state_dict(variant="b0", in_ch=1, prefix="image_encoder."):
     torch.manual_seed(3)
     sd = {}

@@ -207,3 +207,33 @@ def test_tpu_dense_widths_remap():
     widths = {leaf.shape[-1] for p, leaf in walk(v_r2["params"])
               if "block_" in p and p.endswith("project_conv/kernel")}
     assert 176 in widths and 304 in widths
+
+
+def test_tpu_slim_stage3_override():
+    """tpu_slim_stage3=E overrides the expanded width of exactly the E=384 k5
+    stage (B5 stage3, blocks 9-12; the entry block 8 is already E=256 via its
+    expand_ratio=2 remap) and leaves every other stage untouched — the
+    capacity-cut probe behind ROADMAP #2."""
+    import jax
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.models.efficientnet import EfficientNet
+
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+
+    def expand_widths(m):
+        v = jax.eval_shape(lambda: m.init({"params": jax.random.PRNGKey(0)}, x, False))
+        out = {}
+        for name, sub in v["params"].items():
+            if name.startswith("block_") and "expand_conv" in sub:
+                out[name] = sub["expand_conv"]["kernel"].shape[-1]
+        return out
+
+    base = expand_widths(EfficientNet(variant="b5", in_channels=1, tpu_optimized=True))
+    slim = expand_widths(EfficientNet(variant="b5", in_channels=1, tpu_optimized=True,
+                                      tpu_slim_stage3=256))
+    assert base != slim
+    changed = {k for k in base if base[k] != slim[k]}
+    assert changed == {f"block_{i}" for i in (9, 10, 11, 12)}, changed
+    for k in changed:
+        assert base[k] == 384 and slim[k] == 256, (k, base[k], slim[k])

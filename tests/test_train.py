@@ -467,3 +467,40 @@ def test_flattened_optimizer_matches_per_leaf():
     with _pytest.raises(AssertionError):
         build_optimizer({**cfg, "flatten": True}, lambda s: 1e-2,
                         params=params, no_decay_patterns=["b/c"])
+
+
+def test_flatten_small_optimizer_matches_per_leaf():
+    """optimizer.flatten_small_bytes=N (bucketed fusion: tiny leaves share one
+    flat update vector, big leaves stay per-leaf) is numerically identical to
+    the plain AdamW chain, including with mixed dtypes and under jit."""
+    from mammo_clip_tpu.train.optim import build_optimizer
+
+    cfg = {"name": "adamw", "weight_decay": 1e-4, "grad_clip_norm": 1.0}
+    rng = np.random.default_rng(3)
+
+    def leaf(shape, dtype=np.float32):
+        return jnp.asarray(rng.standard_normal(shape).astype(dtype))
+
+    # 16-byte threshold: "a", "d", "e" fuse into one f32 vector, "big"
+    # (256 bytes) stays per-leaf.
+    params = {"a": leaf((3,)), "big": leaf((8, 8)),
+              "b": {"d": leaf((2, 2)), "e": leaf((2,), np.float32)}}
+    grads = jax.tree_util.tree_map(lambda p: leaf(p.shape, p.dtype), params)
+    import optax
+
+    tx1 = build_optimizer(dict(cfg), lambda s: 1e-2)
+    tx2 = build_optimizer({**cfg, "flatten_small_bytes": 16}, lambda s: 1e-2)
+    p1, p2 = params, params
+    s1, s2 = tx1.init(p1), tx2.init(p2)
+
+    @jax.jit
+    def step2(g, s, p):
+        u, s = tx2.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    for _ in range(3):
+        u1, s1 = tx1.update(grads, s1, p1)
+        p1 = optax.apply_updates(p1, u1)
+        p2, s2 = step2(grads, s2, p2)
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
