@@ -79,6 +79,71 @@ def read_dicom_u16(path: str) -> Tuple[np.ndarray, bool]:
     return out, bool(mono1.value)
 
 
+_POOL_PATH = _NATIVE_DIR / "libmammo_pool.so"
+_pool: Optional[ctypes.CDLL] = None
+
+
+def load_pool() -> Optional[ctypes.CDLL]:
+    """The parallel decode+preprocess pool (preprocess/native/mammo_pool.cpp) —
+    the first-party answer to the reference's DALI GPU decode pipeline
+    (preprocess_image_to_png_kaggle.py:95-100): one call converts a batch of
+    DICOMs on every host core with zero Python in the loop."""
+    global _pool
+    if _pool is not None:
+        return _pool
+    if not _POOL_PATH.exists():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), "libmammo_pool.so"],
+                           check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+        if not _POOL_PATH.exists():
+            return None
+    lib = ctypes.CDLL(str(_POOL_PATH))
+    lib.dicom_batch_preprocess.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.dicom_batch_preprocess.restype = ctypes.c_int
+    _pool = lib
+    return lib
+
+
+def pool_available() -> bool:
+    return dicom_available() and load_pool() is not None
+
+
+def batch_preprocess(
+    paths, out_size: Tuple[int, int], n_threads: int = 0,
+    crop_threshold: int = 40, trim: int = 5,
+):
+    """Decode + normalize + breast-crop + resize a batch of DICOMs in parallel.
+
+    Returns (images (N, H, W) uint8, bounds (N, 4) int32 crop rects in the
+    trimmed frame, status (N,) int32 — 0 = ok, see _STATUS). Matches
+    dicom_tool.convert_one's native path per file (including the 5-pixel edge
+    trim); n_threads <= 0 uses every host core."""
+    lib = load_pool()
+    assert lib is not None, "native DICOM pool unavailable"
+    n = len(paths)
+    h, w = out_size
+    images = np.zeros((n, h, w), np.uint8)
+    bounds = np.zeros((n, 4), np.int32)
+    status = np.zeros(n, np.int32)
+    if n == 0:
+        return images, bounds, status
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.dicom_batch_preprocess(
+        c_paths, n, h, w, crop_threshold, trim, n_threads,
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return images, bounds, status
+
+
 # transfer-syntax codes understood by dicom_write_u16 (test-fixture encoder)
 TS_RAW = 0  # explicit-VR little-endian
 TS_J2K = 1  # JPEG-2000 lossless (RSNA)

@@ -67,6 +67,42 @@ def convert_one(path: str, out_size: Tuple[int, int]) -> Tuple[np.ndarray, Tuple
     return img, bounds
 
 
+class _PoolLoader:
+    """Chunked front-runner over the native parallel pool: converts DICOMs in
+    batches of ``chunk`` on every host core (dicom_native.batch_preprocess),
+    serving results in order so peak memory stays one chunk. The DALI-pipeline
+    equivalent of the reference's GPU decode stage
+    (preprocess_image_to_png_kaggle.py:95-100)."""
+
+    def __init__(self, paths, out_size, n_threads=0, chunk=256):
+        self.paths = [str(p) for p in paths]
+        self.out_size = out_size
+        self.n_threads = n_threads
+        self.chunk = chunk
+        self.pos = 0
+        self.cache = {}
+        self.bounds = {}
+
+    def _advance(self):
+        from .dicom_native import _STATUS, batch_preprocess
+
+        batch = self.paths[self.pos:self.pos + self.chunk]
+        imgs, bounds, status = batch_preprocess(batch, self.out_size,
+                                                n_threads=self.n_threads)
+        for i, p in enumerate(batch):
+            if status[i] != 0:
+                raise ValueError(
+                    f"DICOM conversion failed for {p}: {_STATUS.get(int(status[i]))}")
+            self.cache[p] = imgs[i]
+            self.bounds[p] = tuple(int(v) for v in bounds[i])
+        self.pos += len(batch)
+
+    def __call__(self, path: str) -> np.ndarray:
+        while path not in self.cache and self.pos < len(self.paths):
+            self._advance()
+        return self.cache.pop(path)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--in-dir", required=True)
@@ -75,13 +111,27 @@ def main(argv=None) -> None:
     ap.add_argument("--width", type=int, default=912)
     ap.add_argument("--png", action="store_true", help="write PNGs instead of packed shards")
     ap.add_argument("--bounds-csv", default=None, help="write crop bounds for box remapping")
+    ap.add_argument("--threads", type=int, default=0,
+                    help="decode threads for the native parallel pool "
+                    "(0 = all host cores, 1 = serial Python fallback path)")
     args = ap.parse_args(argv)
 
     paths = sorted(Path(args.in_dir).rglob("*.dicom")) + sorted(Path(args.in_dir).rglob("*.dcm"))
     out_size = (args.height, args.width)
     bounds_rows = []
 
-    if args.png:
+    from .dicom_native import pool_available
+
+    use_pool = args.threads != 1 and pool_available()
+    if use_pool and not args.png:
+        loader = _PoolLoader(paths, out_size, n_threads=args.threads)
+        write_packed_shards([(p.stem, str(p)) for p in paths], args.out_dir, out_size,
+                            loader=loader)
+        bounds_rows = [
+            {"image_id": Path(p).stem, "y0": b[0], "y1": b[1], "x0": b[2], "x1": b[3]}
+            for p, b in loader.bounds.items()
+        ]
+    elif args.png:
         import cv2
 
         os.makedirs(args.out_dir, exist_ok=True)

@@ -171,6 +171,77 @@ def test_dicom_tool_end_to_end_without_pydicom(dicom_native, tmp_path):
     assert set(rows["image_id"]) == {"rsna_case", "vindr_case"}
 
 
+def test_dicom_pool_matches_serial_path(dicom_native, tmp_path):
+    """The parallel C++ decode+preprocess pool (mammo_pool.cpp — the DALI-stage
+    equivalent) is byte-identical to dicom_tool.convert_one's serial native path,
+    across transfer syntaxes, MONOCHROME1, and thread counts; bad files report
+    per-file status without poisoning the batch."""
+    dn = dicom_native
+    if not dn.pool_available():
+        pytest.skip("pool lib unavailable")
+    from mammo_clip_tpu.preprocess import dicom_tool
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i, (ts, mono1) in enumerate([
+        (dn.TS_J2K, False), (dn.TS_JPEG_LOSSLESS, True), (dn.TS_JLS, False),
+        (dn.TS_RAW, True), (dn.TS_J2K, True), (dn.TS_RAW, False),
+    ]):
+        base = _synthetic_mammogram(h=140 + 4 * i, w=100 + 4 * i, side="left")
+        img = base.astype(np.uint16) * 257 + rng.integers(0, 256, base.shape).astype(np.uint16)
+        p = str(tmp_path / f"case{i}.dicom")
+        dn.write_dicom_u16(p, img, ts=ts, monochrome1=mono1)
+        paths.append(p)
+
+    out_size = (96, 64)
+    serial = [dicom_tool.convert_one(p, out_size) for p in paths]
+    for n_threads in (1, 4):
+        imgs, bounds, status = dn.batch_preprocess(paths, out_size, n_threads=n_threads)
+        assert status.tolist() == [0] * len(paths)
+        for i in range(len(paths)):
+            np.testing.assert_array_equal(imgs[i], serial[i][0])
+            assert tuple(bounds[i]) == tuple(serial[i][1])
+
+    # a corrupt file fails alone: others still convert
+    bad = str(tmp_path / "broken.dicom")
+    with open(bad, "wb") as f:
+        f.write(b"not a dicom at all")
+    imgs, _, status = dn.batch_preprocess([paths[0], bad, paths[1]], out_size, n_threads=2)
+    assert status[0] == 0 and status[2] == 0 and status[1] != 0
+    np.testing.assert_array_equal(imgs[0], serial[0][0])
+    np.testing.assert_array_equal(imgs[2], serial[1][0])
+
+
+def test_dicom_tool_uses_pool(dicom_native, tmp_path, monkeypatch):
+    """dicom_tool --threads 0 routes through the parallel pool and produces the
+    same shards + bounds CSV as the serial --threads 1 path."""
+    dn = dicom_native
+    if not dn.pool_available():
+        pytest.skip("pool lib unavailable")
+    import pandas as _pd
+
+    from mammo_clip_tpu.preprocess import dicom_tool
+
+    in_dir = tmp_path / "d"
+    in_dir.mkdir()
+    base = _synthetic_mammogram(h=150, w=110, side="left").astype(np.uint16) * 257
+    for i in range(5):
+        dn.write_dicom_u16(str(in_dir / f"img{i}.dicom"), base + i, ts=dn.TS_J2K)
+
+    outs = {}
+    for threads in ("0", "1"):
+        out_dir = tmp_path / f"shards{threads}"
+        csv = tmp_path / f"b{threads}.csv"
+        dicom_tool.main(["--in-dir", str(in_dir), "--out-dir", str(out_dir),
+                         "--height", "80", "--width", "56",
+                         "--threads", threads, "--bounds-csv", str(csv)])
+        store = PackedShardStore(str(out_dir))
+        outs[threads] = (store.get_rows([f"img{i}" for i in range(5)]),
+                         _pd.read_csv(csv).sort_values("image_id").reset_index(drop=True))
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+    _pd.testing.assert_frame_equal(outs["0"][1], outs["1"][1])
+
+
 def test_native_clahe_matches_cv2(native):
     import cv2
 
