@@ -63,6 +63,13 @@ def main(argv=None) -> None:
     results = {}
     for step in sorted(steps):
         state, _, meta = restore_checkpoint(ckpt_dir, template, step=step)
+        # orbax restores arrays COMMITTED to the template's device; committed
+        # single-device leaves cannot mix with mesh-sharded batches in the jitted
+        # eval step (same hazard as Trainer resume, train/trainer.py). Round-trip
+        # through host to uncommit.
+        state = jax.tree_util.tree_map(
+            lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, state
+        )
         losses = []
         for batch in prefetch_to_device(iter(valid_b), ctx):
             ld = eval_step(state, batch)

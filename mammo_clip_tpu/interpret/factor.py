@@ -72,7 +72,11 @@ def factor_loss(
     selection because masked terms contribute 0 to numerator and count).
     """
     regions = region_embs.astype(jnp.float32)
-    regions = regions / jnp.clip(jnp.linalg.norm(regions, axis=-1, keepdims=True), 1e-8, None)
+    # safe normalize: jnp.linalg.norm's gradient is NaN at an exactly-zero row,
+    # and the mapper CAN emit zero rows at init (zero biases + relu on tiny
+    # frozen features) — sqrt(sum^2 + eps) keeps the backward finite there.
+    norm2 = jnp.sum(regions * regions, axis=-1, keepdims=True)
+    regions = regions * jax.lax.rsqrt(norm2 + 1e-12)
     sim_regions = jnp.einsum("bcal,al->bca", regions, attr_embs.astype(jnp.float32))
     sim = jnp.max(sim_regions, axis=1) / temperature  # (B, A) image-attribute sims
 

@@ -207,6 +207,27 @@ def test_factor_mapper_and_loss():
     assert float(loss_fn(params)) < l0
 
 
+def test_factor_loss_grads_finite_at_zero_regions():
+    """Regression (r3, found by the factor-CLI driver test): the mapper emits
+    EXACTLY-zero region rows at init when the frozen features are tiny (relu(0)
+    -> zero fc2 bias), and jnp.linalg.norm's gradient is NaN at zero — the safe
+    normalize in factor_loss must keep the backward finite."""
+    A, L = 2, 8
+    attr = np.random.default_rng(0).standard_normal((A, L)).astype(np.float32)
+    attr /= np.linalg.norm(attr, axis=1, keepdims=True)
+    labels = jnp.asarray(np.eye(A, dtype=np.float32))
+
+    def loss_of(emb):
+        return factor_loss(emb, jnp.asarray(attr), labels)
+
+    emb = np.random.default_rng(1).standard_normal((A, 4, A, L)).astype(np.float32)
+    emb[0, 2] = 0.0  # one all-zero region row
+    emb[1] = 0.0  # one image with EVERY region zero
+    val, grads = jax.value_and_grad(loss_of)(jnp.asarray(emb))
+    assert np.isfinite(float(val))
+    assert bool(jnp.isfinite(grads).all()), "NaN grads at zero region rows"
+
+
 def test_classifier_resume_and_predictions_artifact(tmp_path):
     """VERDICT r2 #7: train_classifier persists the validation predictions in
     the best checkpoint (offline re-scoring parity with the reference's
