@@ -110,8 +110,13 @@ class MeshContext:
 
     @property
     def batch_sharding(self) -> NamedSharding:
-        """Leading-axis batch sharding over EVERY mesh axis (pure-DP when model=1)."""
-        axes = tuple(self.mesh.axis_names)
+        """Leading-axis batch sharding over the data-parallel axes; REPLICATED over
+        'model' (identical to sharding over everything when model=1, i.e. every
+        production config). Megatron semantics: a TP group's members hold the SAME
+        examples so activations can be channel-sharded over 'model' without GSPMD
+        resharding the batch at every TP layer (the involuntary-rematerialization
+        SPMD warnings the 2x2x2 dryrun used to emit)."""
+        axes = tuple(a for a in self.mesh.axis_names if a != "model")
         return self.sharding(axes)
 
     @property

@@ -132,10 +132,32 @@ def partition_params(params, mesh: Mesh, fsdp: bool = False):
         )
 
     data_size = dict(mesh.shape).get("data", 1)
+    model_size = dict(mesh.shape).get("model", 1)
+
+    # Image-tower TP eligibility (structural, decided from the actual tree):
+    # a block is sharded only when it HAS the Megatron sandwich — an expand_conv
+    # to column-split ahead of the row-split projection — and its expanded dim
+    # leaves >= 64 channels per shard. Without the gate the regexes also hit
+    # e=1 blocks (no expand_conv: sharding their depthwise/BN forces GSPMD to
+    # reshard the block's replicated input batch->channel EVERY block — the
+    # "involuntary full rematerialization" SPMD warning) and narrow early
+    # blocks where a lane-wide shard doesn't exist.
+    eligible = set()
+    for kp, leaf in flat:
+        m = re.search(r"(.*block_\d+)/expand_conv/kernel$", path_str(kp))
+        if m and getattr(leaf, "shape", None):
+            e = leaf.shape[-1]
+            if e % model_size == 0 and e // model_size >= 64:
+                eligible.add(m.group(1))
+
     specs = {}
     for kp, leaf in flat:
         ps = path_str(kp)
         spec = spec_for_path(ps)
+        if spec != P() and "image_encoder" in ps:
+            bm = re.search(r"(.*block_\d+)/", ps)
+            if bm and bm.group(1) not in eligible:
+                spec = P()
         if fsdp:
             spec = fsdp_spec(getattr(leaf, "shape", ()), data_size, spec)
         specs[ps] = spec

@@ -292,3 +292,13 @@ def test_image_tower_tp_params_actually_sharded():
     mus = [l for l in jax.tree_util.tree_leaves(st.opt_state)
            if hasattr(l, "sharding") and "model" in str(getattr(l.sharding, "spec", ""))]
     assert mus, "no optimizer moment followed the TP sharding"
+
+    # structural eligibility gate (r3): e=1 blocks have NO expand_conv — no
+    # Megatron column->row sandwich — so sharding their depthwise/BN would
+    # force GSPMD to reshard the replicated block input every block (the
+    # involuntary-rematerialization SPMD warning). They must stay replicated.
+    e1_blocks = [k for k in enc if k.startswith("block_") and "expand_conv" not in enc[k]]
+    assert e1_blocks, "tiny b0 should have e=1 blocks"
+    for b in e1_blocks:
+        spec = enc[b]["depthwise_conv"]["kernel"].sharding.spec
+        assert "model" not in str(spec), (b, spec)
