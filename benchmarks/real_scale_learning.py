@@ -1,0 +1,241 @@
+"""Real-scale learning evidence on the real TPU: B5-class pretraining at the
+production resolution (912x1520) on structured synthetic image-text pairs.
+
+The toy learning gate (tests/test_clip_learns.py) runs a b0 at 64x64 on the CPU
+mesh; this experiment runs the ACTUAL bench recipes — the full B5-class dual
+encoder at full resolution, the production train step (on-device augmentation,
+multi-positive loss, AdamW + the bench schedule) — and shows each path learns a
+transferable feature (zero-shot AUROC on held-out images) at real scale:
+
+* ``--path compat``          reference-exact checkpoint-compatible path
+* ``--path flagship``        the tpu_optimized flagship recipe (bench default)
+* ``--path flagship-warm``   flagship importance-warm-started from the compat
+                             arm's trained weights (convert/flagship_init) —
+                             quality evidence for the warm-start feature: the
+                             seeded run must reach the AUROC bar in fewer steps
+                             than from scratch.
+
+The model/loss/optimizer/step construction is copied line-for-line from
+bench.py so the TPU executables come out of the persistent compile cache
+(a fresh B5 train-step compile costs 10-40 min on this pod's relay).
+
+Synthetic task: positives carry a bright square (jittered position, both
+views); each sample's two "reports" share a class keyword token and differ in
+unique filler tokens — the same contract as the toy gate, at production scale.
+Batch composition reshuffles every epoch (the BN-cheat guard documented in
+BASELINE.md r3).
+
+Prints one JSON line per eval: {"path", "step", "loss", "auroc"}.
+Results are recorded in BASELINE.md (r3 "real-scale learning" section).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import sys
+import time
+
+import numpy as np
+
+BATCH = 8
+H, W = 1520, 912  # cfg order: image_size_h x image_size_w
+
+
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get("MAMMO_CLIP_JAX_CACHE", "/root/repo/.jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def make_pairs(n, h, w, seq, vocab, seed):
+    """Structured pairs: positives get a bright square in BOTH views; two
+    unique token 'reports' per sample sharing a class-keyword token."""
+    rng = np.random.default_rng(seed)
+    v1 = rng.integers(0, 60, (n, h, w, 1)).astype(np.uint8)
+    v2 = rng.integers(0, 60, (n, h, w, 1)).astype(np.uint8)
+    labels = (np.arange(n) % 2).astype(np.float32)
+    pos_tok, neg_tok = 7001, 3001
+    ids1 = np.zeros((n, seq), np.int32)
+    ids2 = np.zeros((n, seq), np.int32)
+    mask = np.zeros((n, seq), np.int32)
+    mask[:, :8] = 1
+    for i in range(n):
+        if labels[i]:
+            for arr in (v1, v2):
+                y = int(rng.integers(h // 8, h // 2))
+                x = int(rng.integers(w // 8, w // 2))
+                arr[i, y:y + 200, x:x + 200] = 200 + (arr[i, y:y + 200, x:x + 200] // 4)
+        cls = pos_tok if labels[i] else neg_tok
+        uniq = [10 + (i // 100) % 100, 120 + i % 100]
+        ids1[i, :8] = [101 % vocab, cls, uniq[0], uniq[1], 500, 501, 502, 102 % vocab]
+        ids2[i, :8] = [101 % vocab, cls, uniq[1], uniq[0], 600, 601, 602, 102 % vocab]
+    return v1, v2, ids1, ids2, mask, labels, (pos_tok, neg_tok)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--path", choices=["compat", "flagship", "flagship-warm"],
+                    default="flagship")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--train-n", type=int, default=384)
+    ap.add_argument("--holdout-n", type=int, default=96)
+    ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--save-params", type=str, default="",
+                    help="pickle the final variables here (for the warm arm)")
+    ap.add_argument("--warm-from", type=str, default="",
+                    help="pickle of compat variables to warm-start from")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+    _enable_compile_cache()
+
+    from mammo_clip_tpu.core.config import default_pretrain_config
+    from mammo_clip_tpu.eval.metrics import auroc
+    from mammo_clip_tpu.losses import build_loss
+    from mammo_clip_tpu.models import build_model
+    from mammo_clip_tpu.ops.augment import AugmentConfig, augment_two_views, minmax_standardize
+    from mammo_clip_tpu.train import (
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+        warmup_cosine_sq_schedule,
+    )
+
+    compat = args.path == "compat"
+    cfg = default_pretrain_config("b5")
+    cfg.model.image_encoder.remat = True
+    if not compat:
+        cfg.model.image_encoder.tpu_optimized = True
+        cfg.model.image_encoder.remat = False
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+    seq = cfg.data.text_max_length
+    vocab = cfg.model.text_encoder.vocab_size
+
+    model = build_model(cfg.model.to_dict(), dtype=jnp.bfloat16)
+    loss_fn = build_loss(cfg.loss.to_dict())
+    schedule = warmup_cosine_sq_schedule(cfg.optimizer.lr, total_steps=10_000, warmup_steps=500)
+    tx = build_optimizer(cfg.optimizer.to_dict(), schedule)
+
+    aug = AugmentConfig.from_dict(cfg.augment.to_dict())
+    mean, std = cfg.data.mean, cfg.data.std
+
+    def preprocess(batch, rng):
+        batch = dict(batch)
+        batch["images"], batch["image_views"] = augment_two_views(
+            batch["images"], batch["image_views"], rng, aug, mean, std, train=True,
+            out_dtype=None if compat else jnp.bfloat16,
+        )
+        return batch
+
+    print(f"[{args.path}] generating {args.train_n}+{args.holdout_n} structured "
+          f"pairs at {h}x{w}...", file=sys.stderr)
+    v1, v2, ids1, ids2, mask, labels, (pos_tok, neg_tok) = make_pairs(
+        args.train_n, h, w, seq, vocab, seed=0)
+    hv1, _, _, _, _, hlabels, _ = make_pairs(args.holdout_n, h, w, seq, vocab, seed=9)
+
+    init_example = {
+        "images": jnp.zeros((BATCH, h, w, 1), jnp.float32),
+        "image_views": jnp.zeros((BATCH, h, w, 1), jnp.float32),
+        "input_ids": jnp.ones((BATCH, seq), jnp.int32),
+        "attention_mask": jnp.ones((BATCH, seq), jnp.int32),
+        "input_ids2": jnp.ones((BATCH, seq), jnp.int32),
+        "attention_mask2": jnp.ones((BATCH, seq), jnp.int32),
+    }
+    state = create_train_state(model, init_example, tx, jax.random.PRNGKey(0))
+
+    if args.warm_from:
+        from mammo_clip_tpu.convert.flagship_init import flagship_warm_start
+
+        with open(args.warm_from, "rb") as f:
+            src_vars = pickle.load(f)
+        seeded = flagship_warm_start(
+            src_vars, {"params": state.params, "batch_stats": state.batch_stats})
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, seeded["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, seeded["batch_stats"]))
+        print(f"[{args.path}] warm-started from {args.warm_from}", file=sys.stderr)
+
+    train_step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
+
+    # serving-path eval fns: identical construction to benchmarks/bench_infer.py
+    # (cache hit at batch 32)
+    @jax.jit
+    def embed_image(v, raw):
+        x = minmax_standardize(raw, mean, std)
+        return model.apply(v, x, train=False, method=model.embed_image)
+
+    @jax.jit
+    def embed_text(v, ids, m):
+        return model.apply(v, ids, m, train=False, method=model.embed_text)
+
+    prompts = np.zeros((32, seq), np.int32)
+    pmask = np.zeros((32, seq), np.int32)
+    prompts[0, :4] = [101 % vocab, pos_tok, 500, 102 % vocab]
+    prompts[1, :4] = [101 % vocab, neg_tok, 500, 102 % vocab]
+    pmask[:2, :4] = 1
+    pmask[2:, 0] = 1  # pad rows still need one attended token
+
+    def zs_auroc(st):
+        v = {"params": st.params, "batch_stats": st.batch_stats}
+        embs = []
+        for i in range(0, args.holdout_n, 32):
+            e = embed_image(v, jnp.asarray(hv1[i:i + 32]))
+            embs.append(np.asarray(e, np.float32))
+        img = np.concatenate(embs)
+        txt = np.asarray(embed_text(v, jnp.asarray(prompts), jnp.asarray(pmask)),
+                         np.float32)
+        score = img @ txt[0] - img @ txt[1]
+        return auroc(hlabels, score)
+
+    order_rng = np.random.default_rng(7)
+    n, spe = args.train_n, args.train_n // BATCH
+    step_rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    loss_val = float("nan")
+    for step in range(args.steps):
+        k = step % spe
+        if k == 0:
+            order = order_rng.permutation(n)
+        sel = order[k * BATCH:(k + 1) * BATCH]
+        batch = {
+            "images": jnp.asarray(v1[sel]),
+            "image_views": jnp.asarray(v2[sel]),
+            "input_ids": jnp.asarray(ids1[sel]),
+            "attention_mask": jnp.asarray(mask[sel]),
+            "input_ids2": jnp.asarray(ids2[sel]),
+            "attention_mask2": jnp.asarray(mask[sel]),
+        }
+        state, loss_dict = train_step(state, batch, step_rng)
+        if (step + 1) % 5 == 0:
+            loss_val = float(loss_dict["total"])  # sync fetch (relay acks early)
+        if (step + 1) % args.eval_every == 0 or step + 1 == args.steps:
+            a = zs_auroc(state)
+            print(json.dumps({"path": args.path, "step": step + 1,
+                              "loss": round(loss_val, 4), "auroc": round(a, 4),
+                              "wall_s": round(time.time() - t0, 1)}))
+            sys.stdout.flush()
+
+    if args.save_params:
+        v = {"params": jax.tree_util.tree_map(np.asarray, state.params),
+             "batch_stats": jax.tree_util.tree_map(np.asarray, state.batch_stats)}
+        with open(args.save_params, "wb") as f:
+            pickle.dump(v, f)
+        print(f"[{args.path}] saved variables to {args.save_params}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

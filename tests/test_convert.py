@@ -452,7 +452,8 @@ def test_hf_swin_conversion_matches_hf():
 def test_flagship_warm_start_from_compat():
     """ROADMAP r3 #10: the tpu_optimized flagship seeds its deep stages, text
     tower, projections, and logit_scale from a reference-exact checkpoint; the
-    s2d front keeps fresh init; remapped widths copy the overlapping slab."""
+    s2d front keeps fresh init. method='slab' pins the first-N truncation
+    semantics; the importance method has its own tests below."""
     from mammo_clip_tpu.convert.flagship_init import flagship_warm_start
     from mammo_clip_tpu.core.config import tiny_test_config
     from mammo_clip_tpu.models import build_model
@@ -477,7 +478,8 @@ def test_flagship_warm_start_from_compat():
 
     seeded = flagship_warm_start(
         {"params": vc["params"], "batch_stats": vc["batch_stats"]},
-        {"params": vf["params"], "batch_stats": vf["batch_stats"]})
+        {"params": vf["params"], "batch_stats": vf["batch_stats"]},
+        method="slab")
 
     # structure matches the flagship exactly
     assert (jax.tree_util.tree_structure(seeded["params"])
@@ -512,5 +514,141 @@ def test_flagship_warm_start_from_compat():
         np.asarray(enc_f["tpu_stem_conv"]["kernel"]))
 
     # and the seeded variables actually run through the flagship forward
+    out = flag.apply(seeded, batch, train=False)
+    assert np.all(np.isfinite(np.asarray(out["image_embeddings"])))
+
+
+def test_flagship_warm_start_importance_picks_live_channels():
+    """Importance-ranked channel selection (convert/flagship_init, ROADMAP r3
+    #8): with the FIRST half of a block's expanded channels dead (zero project
+    rows), shrinking E by 2x must keep the block's function EXACTLY — the
+    dead channels carried nothing — while first-N slab truncation keeps only
+    the dead half and destroys the function."""
+    import dataclasses
+
+    from mammo_clip_tpu.convert.flagship_init import flagship_warm_start
+    from mammo_clip_tpu.models.efficientnet import BlockArgs, MBConvBlock
+
+    a_src = BlockArgs(kernel=3, stride=1, expand_ratio=4, in_filters=8,
+                      out_filters=16, se_ratio=0.0)           # E = 32
+    a_dst = dataclasses.replace(a_src, expand_filters=16)     # E = 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, 8)), jnp.float32)
+
+    src_blk, dst_blk = MBConvBlock(a_src, drop_rate=0.0), MBConvBlock(a_dst, drop_rate=0.0)
+    vs = jax.tree_util.tree_map(np.asarray,
+                                src_blk.init(jax.random.PRNGKey(1), x, False))
+    vd = jax.tree_util.tree_map(np.asarray,
+                                dst_blk.init(jax.random.PRNGKey(2), x, False))
+
+    pk = np.array(vs["params"]["project_conv"]["kernel"])  # (1,1,32,16)
+    pk[:, :, :16, :] = 0.0                                 # first half: dead
+    vs["params"]["project_conv"]["kernel"] = pk
+
+    def as_vars(v):
+        return {"params": {"image_encoder": {"block_0": v["params"]}},
+                "batch_stats": {"image_encoder": {"block_0": v["batch_stats"]}}}
+
+    out_src = src_blk.apply(
+        {"params": vs["params"], "batch_stats": vs["batch_stats"]}, x, False)
+
+    outs = {}
+    for method in ("importance", "slab"):
+        seeded = flagship_warm_start(as_vars(vs), as_vars(vd), method=method)
+        outs[method] = dst_blk.apply(
+            {"params": seeded["params"]["image_encoder"]["block_0"],
+             "batch_stats": seeded["batch_stats"]["image_encoder"]["block_0"]},
+            x, False)
+
+    np.testing.assert_allclose(np.asarray(outs["importance"]),
+                               np.asarray(out_src), atol=1e-5)
+    assert not np.allclose(np.asarray(outs["slab"]), np.asarray(out_src),
+                           atol=1e-3), "slab kept only dead channels yet matched?!"
+
+
+def test_flagship_warm_start_importance_space_consistency():
+    """One selection per tied channel space: on the b0 flagship remap (stage-6
+    I/O 192->128 shrinks across a residual chain), the channels kept in block
+    i's project output must be EXACTLY the channels kept in block i+1's expand
+    input, or the seeded chain is channel-scrambled. Also: every planned
+    gather lands the compat leaf on the flagship leaf's shape, and the seeded
+    model runs."""
+    from mammo_clip_tpu.convert.flagship_init import (_select_indices,
+                                                      flagship_warm_start)
+    from mammo_clip_tpu.core.config import tiny_test_config
+    from mammo_clip_tpu.models import build_model
+
+    cfg = tiny_test_config()
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+    batch = {
+        # NOT zeros: an exactly-zero image keeps every bias-free conv at 0 and
+        # the final L2 normalize NaNs — a property of any fresh model, nothing
+        # to do with the warm start
+        "images": jnp.asarray(np.random.default_rng(0).normal(size=(2, h, w, 1)),
+                              jnp.float32),
+        "input_ids": jnp.ones((2, 8), jnp.int32),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+    }
+    compat = build_model(cfg.model.to_dict())
+    vc = jax.jit(lambda r: compat.init(r, batch, train=False))(
+        {"params": jax.random.PRNGKey(1)})
+    cfg.model.image_encoder.tpu_optimized = True
+    flag = build_model(cfg.model.to_dict())
+    vf = jax.jit(lambda r: flag.init(r, batch, train=False))(
+        {"params": jax.random.PRNGKey(2)})
+
+    enc_c = jax.tree_util.tree_map(np.asarray, vc["params"]["image_encoder"])
+    sta_c = jax.tree_util.tree_map(np.asarray, vc["batch_stats"]["image_encoder"])
+    enc_f = jax.tree_util.tree_map(np.asarray, vf["params"]["image_encoder"])
+    plan = _select_indices(enc_c, sta_c, enc_f)
+    assert plan, "b0's dense remap shrinks widths; the plan must be non-empty"
+
+    # (1) every planned gather produces exactly the flagship leaf's shape
+    def leaf(tree, path):
+        node = tree
+        for p in path.split("/"):
+            if p == "stats":
+                return None
+            node = node.get(p) if isinstance(node, dict) else None
+            if node is None:
+                return None
+        return node
+
+    checked = 0
+    for path, gathers in plan.items():
+        src = leaf(enc_c, path)
+        dstl = leaf(enc_f, path)
+        if src is None or dstl is None:
+            continue
+        arr = np.asarray(src)
+        for ax, idx in gathers:
+            assert len(idx) == len(set(idx.tolist())), path
+            assert np.all(np.diff(idx) > 0), f"{path}: idx not sorted"
+            arr = np.take(arr, idx, axis=ax)
+            assert arr.shape[ax] == np.asarray(dstl).shape[ax], (path, ax)
+        checked += 1
+    assert checked >= 4
+
+    # (2) residual-chain consistency: block i project axis-3 idx == block i+1
+    # expand axis-2 idx whenever both are planned for the tied space
+    import re as _re
+
+    blocks = sorted((k for k in enc_f if _re.fullmatch(r"block_\d+", k)),
+                    key=lambda s: int(s.split("_")[1]))
+    pairs = 0
+    for b, bn in zip(blocks, blocks[1:]):
+        gp = dict(plan.get(f"{b}/project_conv/kernel", []))
+        ge = dict(plan.get(f"{bn}/expand_conv/kernel", []))
+        if 3 in gp and 2 in ge:
+            np.testing.assert_array_equal(gp[3], ge[2])
+            pairs += 1
+    assert pairs >= 1, "expected at least one shrunk residual chain on b0"
+
+    # (3) the importance-seeded flagship runs end to end
+    seeded = flagship_warm_start(
+        {"params": vc["params"], "batch_stats": vc["batch_stats"]},
+        {"params": vf["params"], "batch_stats": vf["batch_stats"]})
+    assert (jax.tree_util.tree_structure(seeded["params"])
+            == jax.tree_util.tree_structure(vf["params"]))
     out = flag.apply(seeded, batch, train=False)
     assert np.all(np.isfinite(np.asarray(out["image_embeddings"])))
