@@ -24,3 +24,11 @@ _CACHE_DIR = "/tmp/mammo_clip_tpu_jax_cache"
 os.makedirs(_CACHE_DIR, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running end-to-end test (full-chain CLI drives, learning-"
+        "capability runs); included in the default suite, deselect with -m 'not slow'",
+    )
