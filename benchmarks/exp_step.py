@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--slim-stage3", type=int, default=None, metavar="E",
                     help="with --tpu-opt: expanded-width override for the "
                     "E=384 k5 stage (capacity-cut probe, ROADMAP #2)")
+    ap.add_argument("--slim-stage5", type=int, default=None, metavar="E",
+                    help="with --tpu-opt: expanded-width override for the "
+                    "E=1024 k5 stage (B5 stage5 in-stage blocks; the next "
+                    "capacity-cut candidate, ROADMAP r3 #3)")
     ap.add_argument("--fused-qkv", action="store_true",
                     help="BERT Q/K/V as one (H,3H) MXU matmul (param tree "
                     "unchanged; BASELINE r3 BERT-MFU item)")
@@ -121,6 +125,8 @@ def main() -> None:
         cfg.model.text_encoder.fused_qkv = True
     if args.slim_stage3 is not None:
         cfg.model.image_encoder.tpu_slim_stage3 = args.slim_stage3
+    if args.slim_stage5 is not None:
+        cfg.model.image_encoder.tpu_slim_stage5 = args.slim_stage5
     B = args.batch
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length

@@ -168,15 +168,22 @@ def main(argv=None) -> None:
     train_step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
 
     # serving-path eval fns: identical construction to benchmarks/bench_infer.py
-    # (cache hit at batch 32)
+    # (cache hit at batch 32) — built WITHOUT the remat flag, like bench_infer,
+    # so the eval executables come out of its cache (remat changes the eval HLO
+    # but not the param tree, so the train arrays drop straight in)
+    eval_cfg = default_pretrain_config("b5")
+    if not compat:
+        eval_cfg.model.image_encoder.tpu_optimized = True
+    eval_model = build_model(eval_cfg.model.to_dict(), dtype=jnp.bfloat16)
+
     @jax.jit
     def embed_image(v, raw):
         x = minmax_standardize(raw, mean, std)
-        return model.apply(v, x, train=False, method=model.embed_image)
+        return eval_model.apply(v, x, train=False, method=eval_model.embed_image)
 
     @jax.jit
     def embed_text(v, ids, m):
-        return model.apply(v, ids, m, train=False, method=model.embed_text)
+        return eval_model.apply(v, ids, m, train=False, method=eval_model.embed_text)
 
     prompts = np.zeros((32, seq), np.int32)
     pmask = np.zeros((32, seq), np.int32)

@@ -578,6 +578,13 @@ class EfficientNet(nn.Module):
     #   ~1/3. This is a CAPACITY cut, not a layout fix: opt-in, quality-gated
     #   only by the toy bar (tests/test_clip_learns.py); real-data evidence
     #   pending egress. 0 = off (default recipe).
+    tpu_slim_stage5: int = 0  # same probe for the k5 blocks whose EXPANDED
+    #   width is 1024 under the dense remap (1056 without it): B5 stage5's
+    #   in-stage blocks 21-26 AND the stage6 entry block 27, which expands at
+    #   the same 1/16 resolution — together the flagship profile's
+    #   second-biggest component (47 ms; ROADMAP r3 #3 names it the next
+    #   capacity-cut candidate). e.g. 768 cuts those expanded bytes 25%.
+    #   Opt-in, same quality caveats as tpu_slim_stage3. 0 = off (default).
     quant_int8_k5: bool = False  # run the k5 stages' (B5: stages 3/5/6) 1x1
     #   expand/project convs as int8 MXU matmuls (ops/quant.py; VERDICT r2 #5,
     #   v5e int8 MXU). Checkpoint-identical param tree; forward-only
@@ -665,6 +672,13 @@ class EfficientNet(nn.Module):
                 args = [
                     dataclasses.replace(a, expand_filters=self.tpu_slim_stage3)
                     if (a.kernel == 5 and a.expanded == 384) else a
+                    for a in args
+                ]
+            if self.tpu_slim_stage5:
+                tgt = 1024 if self.tpu_dense_widths else 1056
+                args = [
+                    dataclasses.replace(a, expand_filters=self.tpu_slim_stage5)
+                    if (a.kernel == 5 and a.expanded == tgt) else a
                     for a in args
                 ]
             block_offset = skip

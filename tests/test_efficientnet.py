@@ -237,3 +237,38 @@ def test_tpu_slim_stage3_override():
     assert changed == {f"block_{i}" for i in (9, 10, 11, 12)}, changed
     for k in changed:
         assert base[k] == 384 and slim[k] == 256, (k, base[k], slim[k])
+
+
+def test_tpu_slim_stage5_override():
+    """tpu_slim_stage5=E overrides the expanded width of exactly the k5 blocks
+    at E=1024 (B5 stage5 in-stage blocks 21-26 plus the stage6 entry block 27,
+    which expands at the same 1/16 resolution; stage5's entry block 20 is
+    E=768 and stays) — the second capacity-cut probe (ROADMAP r3 #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.models.efficientnet import EfficientNet
+
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+
+    def expand_widths(m):
+        v = jax.eval_shape(lambda: m.init({"params": jax.random.PRNGKey(0)}, x, False))
+        out = {}
+        for name, sub in v["params"].items():
+            if name.startswith("block_") and "expand_conv" in sub:
+                out[name] = sub["expand_conv"]["kernel"].shape[-1]
+        return out
+
+    base = expand_widths(EfficientNet(variant="b5", in_channels=1, tpu_optimized=True))
+    slim = expand_widths(EfficientNet(variant="b5", in_channels=1, tpu_optimized=True,
+                                      tpu_slim_stage5=768))
+    changed = {k for k in base if base[k] != slim[k]}
+    assert changed == {f"block_{i}" for i in range(21, 28)}, changed
+    for k in changed:
+        assert base[k] == 1024 and slim[k] == 768, (k, base[k], slim[k])
+
+    # both slim probes compose
+    both = expand_widths(EfficientNet(variant="b5", in_channels=1, tpu_optimized=True,
+                                      tpu_slim_stage3=256, tpu_slim_stage5=768))
+    changed2 = {k for k in base if base[k] != both[k]}
+    assert changed2 == {f"block_{i}" for i in (9, 10, 11, 12)} | {f"block_{i}" for i in range(21, 28)}
