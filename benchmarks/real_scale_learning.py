@@ -91,6 +91,12 @@ def main(argv=None) -> None:
                     help="pickle the final variables here (for the warm arm)")
     ap.add_argument("--warm-from", type=str, default="",
                     help="pickle of compat variables to warm-start from")
+    ap.add_argument("--slim-stage3", type=int, default=0, metavar="E",
+                    help="with a flagship path: tpu_slim_stage3 override — the "
+                    "quality gate for the banked -7%% capacity cut "
+                    "(BASELINE.md r3); 0 = off")
+    ap.add_argument("--slim-stage5", type=int, default=0, metavar="E",
+                    help="with a flagship path: tpu_slim_stage5 override; 0 = off")
     args = ap.parse_args(argv)
 
     import jax
@@ -112,11 +118,20 @@ def main(argv=None) -> None:
     )
 
     compat = args.path == "compat"
+    path_label = args.path
+    if args.slim_stage3:
+        path_label += f"-slim3[{args.slim_stage3}]"
+    if args.slim_stage5:
+        path_label += f"-slim5[{args.slim_stage5}]"
     cfg = default_pretrain_config("b5")
     cfg.model.image_encoder.remat = True
     if not compat:
         cfg.model.image_encoder.tpu_optimized = True
         cfg.model.image_encoder.remat = False
+        cfg.model.image_encoder.tpu_slim_stage3 = args.slim_stage3
+        cfg.model.image_encoder.tpu_slim_stage5 = args.slim_stage5
+    elif args.slim_stage3 or args.slim_stage5:
+        ap.error("--slim-stage* only applies to the flagship paths")
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
     vocab = cfg.model.text_encoder.vocab_size
@@ -174,6 +189,10 @@ def main(argv=None) -> None:
     eval_cfg = default_pretrain_config("b5")
     if not compat:
         eval_cfg.model.image_encoder.tpu_optimized = True
+        # slim overrides change the param tree, so the eval model must carry
+        # them too (those arms forgo the bench_infer cache hit)
+        eval_cfg.model.image_encoder.tpu_slim_stage3 = args.slim_stage3
+        eval_cfg.model.image_encoder.tpu_slim_stage5 = args.slim_stage5
     eval_model = build_model(eval_cfg.model.to_dict(), dtype=jnp.bfloat16)
 
     @jax.jit
@@ -227,7 +246,7 @@ def main(argv=None) -> None:
             loss_val = float(loss_dict["total"])  # sync fetch (relay acks early)
         if (step + 1) % args.eval_every == 0 or step + 1 == args.steps:
             a = zs_auroc(state)
-            print(json.dumps({"path": args.path, "step": step + 1,
+            print(json.dumps({"path": path_label, "step": step + 1,
                               "loss": round(loss_val, 4), "auroc": round(a, 4),
                               "wall_s": round(time.time() - t0, 1)}))
             sys.stdout.flush()
