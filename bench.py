@@ -47,14 +47,9 @@ MEASURE_STEPS = 10
 def _enable_compile_cache():
     """Persistent compilation cache: makes repeat bench runs start in seconds and keeps
     the driver's end-of-round bench cheap."""
-    import os
+    from mammo_clip_tpu.utils.cache import enable_compile_cache
 
-    import jax
-
-    cache_dir = os.environ.get("MAMMO_CLIP_JAX_CACHE", "/root/repo/.jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compile_cache()
 
 
 def main(argv=None) -> None:

@@ -53,10 +53,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
-    cache_dir = os.environ.get("MAMMO_CLIP_JAX_CACHE", "/root/repo/.jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from mammo_clip_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from mammo_clip_tpu.ops.augment import AugmentConfig, augment_batch
     from mammo_clip_tpu.train.optim import build_optimizer

@@ -26,10 +26,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    cache_dir = os.environ.get("MAMMO_CLIP_JAX_CACHE", "/root/repo/.jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from mammo_clip_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     r = np.random.default_rng(0)
     # (label, N, H, W, C, k): flagship stage shapes (16 views)

@@ -44,14 +44,9 @@ H, W = 1520, 912  # cfg order: image_size_h x image_size_w
 
 
 def _enable_compile_cache():
-    import os
+    from mammo_clip_tpu.utils.cache import enable_compile_cache
 
-    import jax
-
-    cache_dir = os.environ.get("MAMMO_CLIP_JAX_CACHE", "/root/repo/.jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compile_cache()
 
 
 def make_pairs(n, h, w, seq, vocab, seed):

@@ -25,6 +25,7 @@ from ..downstream.classify import POS_WEIGHTS, classifier_from_clip_checkpoint, 
 from ..downstream.experiments import train_classifier
 from ..eval.loading import load_clip_for_eval
 from ..ops.augment import AugmentConfig
+from ..utils.cache import enable_compile_cache
 
 
 def _batches(ds, batch_size, shuffle, seed=0, with_meta=False):
@@ -46,6 +47,7 @@ def _batches(ds, batch_size, shuffle, seed=0, with_meta=False):
 
 
 def main(argv=None) -> None:
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--clip-checkpoint", required=True)
     ap.add_argument("--csv", required=True)

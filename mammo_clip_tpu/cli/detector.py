@@ -29,6 +29,7 @@ from ..ops.augment import AugmentConfig, augment_batch
 from ..train.checkpoint import save_checkpoint
 from ..train.optim import build_optimizer
 from ..train.state import TrainState
+from ..utils.cache import enable_compile_cache
 
 
 def build_detection_table(df, classes, image_col="image_id", max_boxes=16):
@@ -55,6 +56,7 @@ def build_detection_table(df, classes, image_col="image_id", max_boxes=16):
 
 
 def main(argv=None) -> None:
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--clip-checkpoint", required=True)
     ap.add_argument("--csv", required=True)

@@ -17,8 +17,11 @@ from __future__ import annotations
 import argparse
 import json
 
+from ..utils.cache import enable_compile_cache
+
 
 def main(argv=None) -> None:
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True,
                     help="Orbax checkpoint dir or reference .tar")

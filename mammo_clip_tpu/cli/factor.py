@@ -29,12 +29,14 @@ from ..interpret.factor import FactorMapper, attribute_embeddings, factor_loss
 from ..ops.augment import minmax_standardize
 from ..train.checkpoint import save_checkpoint
 from ..train.state import TrainState
+from ..utils.cache import enable_compile_cache
 
 # prompt sources per attribute: positive templates from the synthetic-report bank
 _BANK_KEY = {"Mass": "Mass", "Suspicious_Calcification": "Suspicious Calcification"}
 
 
 def main(argv=None) -> None:
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--clip-checkpoint", required=True)
     ap.add_argument("--csv", required=True)

@@ -16,9 +16,11 @@ from ..core.mesh import MeshContext, is_master
 from ..data.datamodule import DataModule
 from ..data.pipeline import prefetch_to_device
 from ..train.trainer import Trainer
+from ..utils.cache import enable_compile_cache
 
 
 def main(argv=None) -> None:
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None, help="YAML config; defaults to the b5 recipe")
     ap.add_argument("--variant", default="b5", choices=["b2", "b5"])
@@ -39,7 +41,7 @@ def main(argv=None) -> None:
 
     ctx = MeshContext.create(**{k: v for k, v in cfg.get("mesh", {}).items()})
     dm = DataModule(cfg, cur_fold=args.fold, data_frac=args.data_frac)
-    global_bs = cfg.data.batch_size_per_device * ctx.num_devices
+    global_bs = ctx.global_batch_size(cfg.data.batch_size_per_device)
     train_b = dm.batcher("train", batch_size=global_bs)
     valid_b = dm.batcher("valid", batch_size=global_bs) if cfg.data.get("valid") else None
 

@@ -43,11 +43,28 @@ def main(argv=None) -> None:
     preds = np.asarray(arrays["predictions"], np.float64)
     labels = np.asarray(arrays["labels"], np.float64)
 
-    metrics = args.metric or ["auroc", "pfbeta", "accuracy"]
+    # multi-class artifacts (the classifier CLI's ce labels — density/birads —
+    # persist (N, C) probabilities): auroc becomes macro one-vs-rest; pfbeta is
+    # a binary metric and is skipped unless explicitly requested.
+    multiclass = preds.ndim > 1
+    metrics = args.metric or (
+        ["auroc", "accuracy"] if multiclass else ["auroc", "pfbeta", "accuracy"])
     out = {"n": int(preds.shape[0])}
     if "auroc" in metrics:
-        out["auroc"] = float(auroc(labels, preds))
+        if multiclass:
+            per_class = [
+                auroc((labels == c).astype(np.float64), preds[:, c])
+                for c in range(preds.shape[1])
+                if 0 < np.sum(labels == c) < len(labels)
+            ]
+            out["auroc"] = float(np.mean(per_class)) if per_class else float("nan")
+        else:
+            out["auroc"] = float(auroc(labels, preds))
     if "pfbeta" in metrics:
+        if multiclass:
+            raise SystemExit(
+                "pfbeta is a binary metric; this checkpoint holds multi-class "
+                f"(N, {preds.shape[1]}) predictions")
         out["pfbeta"] = float(pfbeta(labels, preds))
     if "accuracy" in metrics:
         if preds.ndim > 1:  # multi-class probabilities

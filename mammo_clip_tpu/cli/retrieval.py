@@ -22,9 +22,11 @@ from ..data.tokenizer import load_tokenizer
 from ..eval.embeddings import EmbeddingExtractor
 from ..eval.loading import load_clip_for_eval
 from ..eval.retrieval import eval_image_text_retrieval
+from ..utils.cache import enable_compile_cache
 
 
 def main(argv=None) -> None:
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--ema", action="store_true",

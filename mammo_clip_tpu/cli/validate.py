@@ -29,9 +29,11 @@ from ..train.schedule import warmup_cosine_sq_schedule
 from ..train.state import create_train_state
 from ..train.step import make_eval_step
 from ..train.trainer import make_clip_preprocess
+from ..utils.cache import enable_compile_cache
 
 
 def main(argv=None) -> None:
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--config", default=None, help="defaults to <workdir>/config.yaml")
@@ -46,7 +48,8 @@ def main(argv=None) -> None:
     loss_fn = build_loss(cfg.loss.to_dict())
     preprocess = make_clip_preprocess(cfg)
     dm = DataModule(cfg)
-    valid_b = dm.batcher("valid", batch_size=cfg.data.batch_size_per_device * ctx.num_devices)
+    valid_b = dm.batcher("valid",
+                         batch_size=ctx.global_batch_size(cfg.data.batch_size_per_device))
 
     first = next(iter(valid_b))
     example = preprocess(ctx.shard_host_batch(first), None)

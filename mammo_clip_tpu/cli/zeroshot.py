@@ -16,12 +16,13 @@ import json
 
 import numpy as np
 
-from ..data.metadata import load_metadata, split_dataframe
 from ..data.images import open_image_store
+from ..data.metadata import load_metadata, split_dataframe
 from ..data.tokenizer import load_tokenizer
 from ..eval.embeddings import EmbeddingExtractor
 from ..eval.loading import load_clip_for_eval
 from ..eval.zeroshot import DEFAULT_ZS_PROMPTS, eval_zeroshot
+from ..utils.cache import enable_compile_cache
 
 # CSV column per label key (reference image_classification_zs.py:83-99)
 LABEL_COLUMNS = {
@@ -34,6 +35,7 @@ LABEL_COLUMNS = {
 
 
 def main(argv=None) -> None:
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--ema", action="store_true",

@@ -124,7 +124,12 @@ class MeshContext:
         return self.sharding()
 
     def global_batch_size(self, per_device: int) -> int:
-        return per_device * self.num_devices
+        """Distinct examples per step: per-device batch x batch-CARRYING devices.
+        batch_sharding replicates the batch over 'model' (TP-group members hold
+        the same examples), so counting all devices would silently inflate each
+        data shard's example count (and activation memory) by
+        model_parallelism whenever model > 1."""
+        return per_device * (self.num_devices // self.model_parallelism)
 
     def shard_host_batch(self, batch):
         """Place a host-resident pytree of numpy arrays onto the mesh, batch-sharded.

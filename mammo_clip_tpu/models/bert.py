@@ -27,6 +27,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,9 +68,19 @@ class _ProjParams(nn.Module):
 
     @nn.compact
     def __call__(self):
+        # nn.DenseGeneral draws lecun_normal over the FLATTENED (in, out) shape
+        # (fan_in = in_dim), then reshapes to (in, heads, head_dim). Passing the
+        # 3-D shape straight to lecun_normal would make fan_in = heads*in_dim
+        # (~3.5x too small a std for BERT-base) — init here must match so a
+        # from-scratch fused_qkv run starts from the same distribution.
+        def _init(rng, shape, dtype):
+            flat = nn.initializers.lecun_normal()(
+                rng, (shape[0], int(np.prod(shape[1:]))), dtype)
+            return flat.reshape(shape)
+
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            _init,
             (self.in_dim, *self.features),
             jnp.float32,
         )

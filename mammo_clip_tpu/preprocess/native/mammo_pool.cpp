@@ -70,17 +70,28 @@ int dicom_batch_preprocess(const char* const* paths, int n, int out_h, int out_w
   if (n <= 0) return 0;
   const int64_t tile = int64_t(out_h) * out_w;
 
-  // serial warm-up: first file initializes GDCM's static dictionaries
-  int b0[4];
-  status[0] = convert_one(paths[0], out_h, out_w, crop_thresh, trim, out, b0);
-  for (int k = 0; k < 4; ++k) bounds[k] = b0[k];
-  if (n == 1) return status[0] != 0 ? 1 : 0;
+  // Serial warm-up: decode until one file SUCCEEDS — only a successful decode
+  // is guaranteed to have initialized GDCM's lazily-created global
+  // dictionaries. A failed first file (open/preamble error) can bail before
+  // touching them, which would hand the static-init race to the workers.
+  int warm = 0, warm_failures = 0;
+  while (warm < n) {
+    int b0[4];
+    const int rc = convert_one(paths[warm], out_h, out_w, crop_thresh, trim,
+                               out + int64_t(warm) * tile, b0);
+    status[warm] = rc;
+    for (int k = 0; k < 4; ++k) bounds[int64_t(warm) * 4 + k] = b0[k];
+    ++warm;
+    if (rc == 0) break;
+    ++warm_failures;
+  }
+  if (warm >= n) return warm_failures;
 
   int hw = int(std::thread::hardware_concurrency());
   if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
-  n_threads = std::min(n_threads, n - 1);
+  n_threads = std::min(n_threads, n - warm);
 
-  std::atomic<int> next(1), failures(status[0] != 0 ? 1 : 0);
+  std::atomic<int> next(warm), failures(warm_failures);
   auto worker = [&]() {
     int b[4];
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {

@@ -102,6 +102,17 @@ def latest_step(directory: str) -> Optional[int]:
         return mgr.latest_step()
 
 
+def _stored_has_ema(mgr: ocp.CheckpointManager, step: int) -> bool:
+    """True when the stored payload at ``step`` contains an ema_params tree."""
+    try:
+        return "ema_params" in mgr.item_metadata(step).keys()
+    except Exception:
+        # Metadata probing unavailable (older layout): assume EMA is present so
+        # a genuine mismatch surfaces as a loud restore error rather than a
+        # silent EMA re-seed.
+        return True
+
+
 def restore_checkpoint(directory: str, template_state, step: Optional[int] = None):
     """Restore a TrainState saved by save_checkpoint. ``template_state`` supplies the
     tree structure/shardings (create it with create_train_state on abstract or real
@@ -118,18 +129,15 @@ def restore_checkpoint(directory: str, template_state, step: Optional[int] = Non
             "step": template_state.step,
         }
         if getattr(template_state, "ema_params", None) is not None:
-            template["ema_params"] = template_state.ema_params
-        try:
-            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
-        except Exception:
             # Resuming a pre-EMA checkpoint with ema_decay now enabled: the
             # stored tree lacks ema_params and orbax rejects the bigger
-            # template. Retry without it and re-seed EMA from the restored
-            # params below.
-            if "ema_params" not in template:
-                raise
-            template.pop("ema_params")
-            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+            # template. Probe the stored keys (not a blanket retry — a retry
+            # would also swallow unrelated restore failures and silently
+            # re-seed EMA from raw params, losing trained EMA weights) and
+            # include ema_params only when the checkpoint actually has it.
+            if _stored_has_ema(mgr, step):
+                template["ema_params"] = template_state.ema_params
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     ema = restored.get("ema_params")
     if ema is None and getattr(template_state, "ema_params", None) is not None:
         ema = jax.tree_util.tree_map(lambda a: a.copy(), restored["params"])

@@ -107,6 +107,28 @@ def test_bert_fused_qkv_same_params_same_outputs():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
+def test_bert_fused_qkv_init_scale_matches_dense_general():
+    """A from-scratch fused_qkv init must draw from the SAME distribution as
+    nn.DenseGeneral: lecun_normal over the flattened (H, heads*head_dim) kernel
+    (fan_in = H). Passing the 3-D shape straight to lecun_normal makes
+    fan_in = heads*H (~2x-3.5x too small a std), silently confounding the
+    fused-vs-unfused perf A/B with an init-quality change."""
+    import dataclasses
+
+    cfg = BertConfig(
+        vocab_size=120, hidden_size=256, num_layers=1, num_heads=8,
+        intermediate_size=64, max_position_embeddings=16, dropout_rate=0.0,
+    )
+    ids = jnp.ones((1, 8), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    fused = BertEncoder(dataclasses.replace(cfg, fused_qkv=True))
+    pf = fused.init(jax.random.PRNGKey(0), ids, mask, deterministic=True)["params"]
+    k = np.asarray(pf["layer_0"]["attention"]["query"]["kernel"])
+    assert k.shape == (256, 8, 32)
+    expected = 1.0 / np.sqrt(256.0)  # lecun_normal, fan_in = hidden_size
+    assert abs(k.std() - expected) < 0.15 * expected, (k.std(), expected)
+
+
 def _fake_efficientnet_state_dict(variant="b0", in_ch=1, prefix="image_encoder."):
     torch.manual_seed(3)
     sd = {}

@@ -348,3 +348,40 @@ def test_rescore_cli_reads_predictions_artifact(tmp_path):
         rescore.main(["--checkpoint", str(tmp_path / "best")])
     out = _json.loads(buf.getvalue().strip())
     assert out["n"] == 20 and out["auroc"] > 0.99 and out["accuracy"] > 0.9
+
+
+def test_rescore_cli_handles_multiclass_artifact(tmp_path):
+    """Multi-class prediction artifacts (the classifier CLI's ce labels —
+    density/birads — persist (N, C) probabilities) must rescore without
+    crashing: default metrics become macro one-vs-rest auroc + accuracy, and
+    an explicit pfbeta request fails loudly (binary-only metric)."""
+    import json as _json
+
+    import optax
+    import pytest
+
+    from mammo_clip_tpu.cli import rescore
+    from mammo_clip_tpu.train.checkpoint import save_checkpoint
+    from mammo_clip_tpu.train.state import TrainState
+
+    tx = optax.sgd(0.1)
+    params = {"w": jnp.zeros(2)}
+    state = TrainState(step=jnp.asarray(1, jnp.int32), params=params,
+                       batch_stats={}, opt_state=tx.init(params), tx=tx)
+    rng = np.random.default_rng(0)
+    labels = (np.arange(30) % 3).astype(np.float32)
+    preds = rng.uniform(0, 0.2, (30, 3))
+    preds[np.arange(30), labels.astype(int)] += 0.8  # near-perfect classifier
+    save_checkpoint(str(tmp_path / "best"), state, max_to_keep=1,
+                    extra_arrays={"predictions": preds, "labels": labels})
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rescore.main(["--checkpoint", str(tmp_path / "best")])
+    out = _json.loads(buf.getvalue().strip())
+    assert out["n"] == 30 and out["auroc"] > 0.99 and out["accuracy"] > 0.95
+    assert "pfbeta" not in out  # binary-only; excluded from the default set
+    with pytest.raises(SystemExit):
+        rescore.main(["--checkpoint", str(tmp_path / "best"), "--metric", "pfbeta"])

@@ -302,3 +302,18 @@ def test_image_tower_tp_params_actually_sharded():
     for b in e1_blocks:
         spec = enc[b]["depthwise_conv"]["kernel"].sharding.spec
         assert "model" not in str(spec), (b, spec)
+
+
+def test_global_batch_size_counts_only_batch_carrying_devices():
+    """batch_sharding replicates the batch over 'model' (Megatron semantics),
+    so global_batch_size must NOT multiply by the model axis — otherwise each
+    data shard silently holds model_parallelism x the documented per-device
+    batch (cli/pretrain.py sizes its Batcher with this)."""
+    from mammo_clip_tpu.core.mesh import MeshContext
+
+    ctx = MeshContext.create(data=4, model=2)
+    assert ctx.num_devices == 8
+    assert ctx.global_batch_size(3) == 12  # 3 per device x 4 data shards
+    # and the sharded global batch divides evenly onto the mesh
+    ctx_flat = MeshContext.create(data=8)
+    assert ctx_flat.global_batch_size(3) == 24
