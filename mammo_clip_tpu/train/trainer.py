@@ -105,13 +105,15 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
 
-    def _build_state(self, example_batch, steps_per_epoch: int):
+    def _build_state(self, example_batch, steps_per_epoch: int, lr_scale: float = 1.0):
         cfg = self.cfg
         total, warmup = schedule_horizon(
             cfg.scheduler.epochs, cfg.scheduler.warmup_epochs, steps_per_epoch,
             cfg.optimizer.get("grad_accum_steps", 1),
         )
-        schedule = warmup_cosine_sq_schedule(cfg.optimizer.lr, total, warmup)
+        schedule = warmup_cosine_sq_schedule(cfg.optimizer.lr * lr_scale, total, warmup)
+        self._schedule = schedule  # kept for LR observability (reference logs
+        #                            LR scalars every 30 steps, trainer.py:294-302)
         tx = build_optimizer(cfg.optimizer.to_dict(), schedule)
         state = create_train_state(
             self.model, example_batch, tx, jax.random.PRNGKey(cfg.seed),
@@ -132,7 +134,13 @@ class Trainer:
         first = next(iter(train_batches(0)))
         example = self.preprocess({k: v for k, v in first.items()}, None)
         assert steps_per_epoch, "steps_per_epoch required (len(batcher))"
-        state, tx = self._build_state(example, steps_per_epoch)
+        # Warm-started runs want a gentler peak LR: trained at the scratch
+        # recipe's full peak, the seeded real-scale arm drifted upward past
+        # convergence (BASELINE.md r3 "real-scale learning", observation 1) —
+        # the standard fine-tuning adjustment, opt-in via optimizer config.
+        lr_scale = (float(cfg.optimizer.get("warm_start_lr_scale", 1.0))
+                    if warm_start_from else 1.0)
+        state, tx = self._build_state(example, steps_per_epoch, lr_scale=lr_scale)
         if warm_start_from:
             # seed from a reference-exact checkpoint (convert/flagship_init):
             # deep stages / text tower / projections copied, s2d front fresh
@@ -175,6 +183,14 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + 1)
         log_every = cfg.train.get("log_every", 30)
 
+        # In-training profiler window (SURVEY §5: the reference has no tracing
+        # subsystem): train.profile_at_step=N captures a jax.profiler trace of
+        # train.profile_num_steps steps starting at global step N into
+        # workdir/profile (view in TensorBoard/xprof). Master process only.
+        prof_at = int(cfg.train.get("profile_at_step", -1))
+        prof_len = int(cfg.train.get("profile_num_steps", 5))
+        prof_left = 0  # >0 while a trace is open
+
         # preemption-safe checkpointing: TPU pods get SIGTERM'd on maintenance; flush a
         # checkpoint before dying so resume loses at most one epoch's steps. (The
         # reference has no failure handling at all — SURVEY.md §5.)
@@ -195,9 +211,20 @@ class Trainer:
             n_imgs = 0
             last_t = time.time()
             for i, batch in enumerate(train_batches(epoch)):
+                if prof_at >= 0 and int(state.step) == prof_at and is_master():
+                    jax.profiler.start_trace(f"{self.workdir}/profile")
+                    prof_left = prof_len
                 state, loss_dict = self._train_step(state, batch, rng)
+                if prof_left > 0:
+                    prof_left -= 1
+                    if prof_left == 0:
+                        float(loss_dict["total"])  # force completion inside the trace
+                        jax.profiler.stop_trace()
                 n_imgs += int(batch["images"].shape[0])
                 if preempted["flag"]:
+                    if prof_left > 0:  # don't leak an open trace on preemption
+                        jax.profiler.stop_trace()
+                        prof_left = 0
                     if is_master():
                         save_checkpoint(
                             f"{self.workdir}/checkpoints", state, config=cfg.to_dict(),
@@ -211,6 +238,11 @@ class Trainer:
                     now = time.time()
                     scalars = {f"loss/{k}": float(v) for k, v in loss_dict.items()}
                     scalars["perf/images_per_sec"] = n_imgs / (now - last_t)
+                    # LR at the current optimizer update (micro-steps / accum
+                    # under optax.MultiSteps) — the reference's per-30-step LR
+                    # scalar (trainer.py:294-302)
+                    accum = cfg.optimizer.get("grad_accum_steps", 1)
+                    scalars["perf/lr"] = float(self._schedule(int(state.step) // accum))
                     self.logger.log(int(state.step), scalars, prefix="train")
                     n_imgs, last_t = 0, now
 
@@ -250,6 +282,8 @@ class Trainer:
                     f"epoch {epoch + 1}/{epochs} done in {time.time() - t_epoch:.1f}s "
                     f"val={val_metrics.get(key, float('nan')):.4f} best={best_val:.4f}"
                 )
+        if prof_left > 0:  # window crossed the end of training: close it
+            jax.profiler.stop_trace()
         if prev_handler is not None:
             signal.signal(signal.SIGTERM, prev_handler)
         self.logger.close()

@@ -40,7 +40,7 @@ def _synthetic_df(n=16):
 def test_trainer_end_to_end(tmp_path):
     cfg = tiny_test_config()
     cfg.scheduler.update(epochs=2, warmup_epochs=1)
-    cfg.train.update(log_every=2)
+    cfg.train.update(log_every=2, profile_at_step=1, profile_num_steps=2)
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
 
     store = SyntheticImageStore((h, w))
@@ -75,6 +75,14 @@ def test_trainer_end_to_end(tmp_path):
     assert {"train", "valid"} <= prefixes
     losses = [l for l in lines if l["prefix"] == "train"]
     assert all(np.isfinite(l["loss/total"]) for l in losses)
+    # LR observability (reference logs LR scalars every 30 steps): finite,
+    # positive, and following the warmup-cos^2 shape (first logged < peak)
+    lrs = [l["perf/lr"] for l in losses]
+    assert all(np.isfinite(v) and v > 0 for v in lrs)
+    # profiler window (train.profile_at_step): a trace landed in workdir/profile
+    prof_dir = os.path.join(workdir, "profile")
+    assert os.path.isdir(prof_dir) and any(
+        f for _, _, fs in os.walk(prof_dir) for f in fs)
 
     # resume path: new trainer picks up from the checkpoint without error
     trainer2 = Trainer(cfg, mesh_ctx=ctx, workdir=workdir)
@@ -208,9 +216,21 @@ def test_trainer_flagship_warm_start(tmp_path):
         train_b.set_epoch(epoch)
         return prefetch_to_device(iter(train_b), ctx)
 
+    cfg.optimizer.update(warm_start_lr_scale=0.25)
     trainer = Trainer(cfg, mesh_ctx=ctx, workdir=str(tmp_path / "run"))
+    # the seeded run tempers the peak LR (BASELINE.md r3 real-scale obs. 1):
+    # capture the scale fit passes to _build_state
+    seen = {}
+    orig_build = trainer._build_state
+
+    def spy(example, spe, lr_scale=1.0):
+        seen["lr_scale"] = lr_scale
+        return orig_build(example, spe, lr_scale=lr_scale)
+
+    trainer._build_state = spy
     trainer.fit(train_batches, None, steps_per_epoch=len(train_b),
                 warm_start_from=ckpt)
+    assert seen["lr_scale"] == 0.25
     # the warm start carried the compat logit_scale into the flagship run's
     # checkpoint lineage (fit ran 1 epoch; scale moved but from 1.2345)
     from mammo_clip_tpu.train.checkpoint import restore_checkpoint
