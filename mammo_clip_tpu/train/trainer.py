@@ -155,6 +155,7 @@ class Trainer:
             if is_master():
                 print(f"warm-started from {warm_start_from}")
         start_epoch = 0
+        skip_batches = 0
         best_val = np.inf
         if resume:
             try:
@@ -167,12 +168,22 @@ class Trainer:
                     lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, state
                 )
                 start_epoch = int(meta.get("epoch", int(state.step) // steps_per_epoch))
+                if meta.get("preempted"):
+                    # EXACT mid-epoch resume: the Batcher's order is a pure
+                    # function of the epoch (set_epoch) and the step RNG folds
+                    # in state.step, so skipping the already-trained batches
+                    # continues the preempted epoch without duplicating any
+                    # step (the reference restarts the epoch AND reloads only
+                    # model weights, trainer.py:108-112).
+                    skip_batches = max(0, int(state.step) - start_epoch * steps_per_epoch)
                 # restore the best-so-far metric so the first post-resume epoch
                 # cannot overwrite best/ with a worse checkpoint
                 if meta.get("best_val") is not None:
                     best_val = float(meta["best_val"])
                 if is_master():
-                    print(f"resumed from epoch {start_epoch} (step {int(state.step)})")
+                    print(f"resumed from epoch {start_epoch} (step {int(state.step)})"
+                          + (f", skipping {skip_batches} trained batches"
+                             if skip_batches else ""))
             except (AssertionError, FileNotFoundError):
                 pass
 
@@ -211,6 +222,8 @@ class Trainer:
             n_imgs = 0
             last_t = time.time()
             for i, batch in enumerate(train_batches(epoch)):
+                if epoch == start_epoch and i < skip_batches:
+                    continue  # mid-epoch resume: batch already trained pre-preemption
                 if prof_at >= 0 and int(state.step) == prof_at and is_master():
                     jax.profiler.start_trace(f"{self.workdir}/profile")
                     prof_left = prof_len

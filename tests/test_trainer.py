@@ -237,3 +237,52 @@ def test_trainer_flagship_warm_start(tmp_path):
     from mammo_clip_tpu.train.state import create_train_state as cts  # noqa: F401
 
     assert os.path.isdir(str(tmp_path / "run" / "checkpoints"))
+
+@pytest.mark.slow
+def test_mid_epoch_resume_skips_trained_batches(tmp_path):
+    """A preempted checkpoint resumes INSIDE the epoch: the already-trained
+    batches are skipped (Batcher order is epoch-deterministic, the step RNG
+    folds in state.step), so no step is duplicated. The reference restarts
+    the epoch and reloads only model weights (trainer.py:108-112)."""
+    from mammo_clip_tpu.train.checkpoint import save_checkpoint
+
+    cfg = tiny_test_config()
+    cfg.scheduler.update(epochs=1, warmup_epochs=0)
+    cfg.train.update(log_every=100)
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+
+    store = SyntheticImageStore((h, w))
+    tok = HashTokenizer(vocab_size=cfg.model.text_encoder.vocab_size)
+    train_b = Batcher(ImageTextDataset(_synthetic_df(16), store, split="train"), tok,
+                      batch_size=8, max_length=cfg.data.text_max_length,
+                      process_index=0, process_count=1)
+    ctx = MeshContext.create(data=8, model=1)
+    spe = len(train_b)
+    assert spe == 2
+
+    def train_batches(epoch):
+        train_b.set_epoch(epoch)
+        return prefetch_to_device(iter(train_b), ctx)
+
+    workdir = str(tmp_path / "run")
+    trainer = Trainer(cfg, mesh_ctx=ctx, workdir=workdir)
+
+    # simulate a SIGTERM flush after 1 of 2 batches: a real first step gives us
+    # a state at step 1, saved with the preempted marker
+    first = next(iter(train_batches(0)))
+    example = trainer.preprocess({k: v for k, v in first.items()}, None)
+    state, _ = trainer._build_state(example, spe)
+    from mammo_clip_tpu.train.step import make_train_step
+    import jax
+
+    step_fn = make_train_step(trainer.model, trainer.loss_fn,
+                              preprocess=trainer.preprocess, donate=False)
+    state, _ = step_fn(state, first, jax.random.PRNGKey(cfg.seed + 1))
+    assert int(state.step) == 1
+    save_checkpoint(f"{workdir}/checkpoints", state, config=cfg.to_dict(),
+                    extra_meta={"epoch": 0, "preempted": True})
+
+    final = Trainer(cfg, mesh_ctx=ctx, workdir=workdir).fit(
+        train_batches, None, steps_per_epoch=spe, resume=True)
+    # without the skip, the resumed run would retrain batch 0 and finish at 3
+    assert int(final.step) == spe
