@@ -33,6 +33,14 @@ def build_loss(all_loss_config: Dict) -> LossFn:
             entries.append(("classification", ratio, "classification", cfg))
         else:
             raise KeyError(f"Unknown loss: {name}")
+    keys = [e[0] for e in entries]
+    if len(set(keys)) != len(keys):
+        # breast_clip and breast_clip_contrastive both report under
+        # 'contrastive' (the reference treats them as alternatives,
+        # loss/__init__.py); letting both through would silently overwrite
+        # the first's terms in the returned dict
+        raise ValueError(f"duplicate loss output keys {keys}: enable only one "
+                         "contrastive objective (or set loss_ratio: 0)")
 
     def loss_fn(outputs: Dict, batch: Dict, is_train: bool = True) -> Dict[str, jnp.ndarray]:
         loss_dict: Dict[str, jnp.ndarray] = {}
@@ -62,7 +70,7 @@ def build_loss(all_loss_config: Dict) -> LossFn:
                         outputs["cls_pred"], batch["target_class"], **cfg
                     )
                 }
-            main = sub[key] if key in sub else sub["contrastive"]
+            main = sub[key]  # every loss kind reports under its own key
             for k, v in sub.items():
                 if k != key:
                     loss_dict[f"{key}/{k}"] = v

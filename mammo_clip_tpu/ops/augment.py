@@ -97,14 +97,17 @@ def sample_affine_matrices(rng: jax.Array, batch: int, height: int, width: int,
     trans = jax.random.uniform(ks[6], (batch, 2), minval=-cfg.translate_frac, maxval=cfg.translate_frac)
     trans = trans * apply_affine[:, None] * jnp.asarray([width, height], jnp.float32)
 
-    # forward linear part F = R(theta) @ Shear(shear_x) @ diag(scale*hflip, scale*vflip)
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # forward linear part in skimage's AffineTransform parametrization — the
+    # one albumentations.Affine composes (shear is an ANGLE added to the
+    # rotation of the y basis column, i.e. an x-axis shear):
+    #   [[sx*cos(r), -sy*sin(r+sh)], [sx*sin(r), sy*cos(r+sh)]]
+    # (an earlier revision applied [[1,0],[sh,1]] — a y-axis shear — which on
+    # portrait mammograms draws a visibly different warp distribution)
     sx, sy = scale * hflip, scale * vflip
-    sh = jnp.tan(shear)
-    f00 = sx * cos + sy * sh * (-sin)
-    f01 = sy * (-sin)
-    f10 = sx * sin + sy * sh * cos
-    f11 = sy * cos
+    f00 = sx * jnp.cos(theta)
+    f01 = -sy * jnp.sin(theta + shear)
+    f10 = sx * jnp.sin(theta)
+    f11 = sy * jnp.cos(theta + shear)
     # no-op guard: with apply_affine=0 this degrades to pure flip matrices.
     det = f00 * f11 - f01 * f10
     inv00, inv01 = f11 / det, -f01 / det

@@ -74,10 +74,16 @@ def encode_boxes(anchors: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     ah = anchors[:, 3] - anchors[:, 1]
     ax = anchors[:, 0] + 0.5 * aw
     ay = anchors[:, 1] + 0.5 * ah
-    gw = jnp.clip(gt[:, 2] - gt[:, 0], 1.0, None)
-    gh = jnp.clip(gt[:, 3] - gt[:, 1], 1.0, None)
+    # centers from the UNCLAMPED extents, clamp only the log's w/h — the
+    # reference computes centers first and clamps afterwards
+    # (detectors_utils/losses: degenerate border-clipped boxes keep their true
+    # center; clamping first would shift it by 0.5px)
+    gw = gt[:, 2] - gt[:, 0]
+    gh = gt[:, 3] - gt[:, 1]
     gx = gt[:, 0] + 0.5 * gw
     gy = gt[:, 1] + 0.5 * gh
+    gw = jnp.clip(gw, 1.0, None)
+    gh = jnp.clip(gh, 1.0, None)
     d = jnp.stack(
         [(gx - ax) / aw, (gy - ay) / ah, jnp.log(gw / aw), jnp.log(gh / ah)], axis=1
     )

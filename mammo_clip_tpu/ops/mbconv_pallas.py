@@ -307,7 +307,7 @@ def _b1_kernel(n_tiles, h_tile, W, xm, xt, xb, gm, k, m1, inv1, g1, b1, gate, wp
     t2_out[0] += _rowwise_ab(v, ybar)
 
 
-def _dy_tile(gm, v, gate, wp, m2, inv2, g2, alpha, beta_r, delta, h_tile):
+def _dy_tile(gm, v, gate, wp, m2, inv2, g2, alpha, beta_r, delta):
     """dy = A·dŷ - a - ȳ·b with per-channel constants; recomputes y/ȳ from v."""
     u = v * gate[0]
     y = _project(wp, u)
@@ -330,7 +330,7 @@ def _b2_kernel(n_tiles, h_tile, W, xm, xt, xb, gm, k, m1, inv1, g1, b1, gate, wp
     xp, d, dhat, v = _recompute_to_v(xm, xt, xb, k, m1, inv1, g1, b1, i,
                                      n_tiles, h_tile, W)
     u, y, ybar, dy = _dy_tile(gm, v, gate, wp, m2, inv2, g2, alpha, beta_r,
-                              delta, h_tile)
+                              delta)
     # du[c1] = sum_c2 wp[c1, c2] dy[c2] (project contracted on the output channel)
     du = _project(wp, dy, transpose=True)
     dv = du * gate[0] + ds_hw[0]

@@ -134,7 +134,9 @@ def soft_nms(
     final_scores, _, order = jax.lax.fori_loop(0, k, body, init)
     out_boxes = top_boxes[order]
     out_scores = final_scores[order]
-    valid = out_scores > score_threshold
+    # >= : an undecayed box exactly AT the threshold passed the input filter and
+    # must stay valid (static_nms keeps it; > would drop boundary detections)
+    valid = out_scores >= score_threshold
     out_scores = jnp.where(valid, out_scores, 0.0)
     if k < top_k:
         pad = top_k - k

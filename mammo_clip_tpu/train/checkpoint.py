@@ -102,13 +102,21 @@ def latest_step(directory: str) -> Optional[int]:
         return mgr.latest_step()
 
 
-def _stored_has_ema(mgr: ocp.CheckpointManager, step: int) -> bool:
+def _stored_has_ema(directory: str, mgr: ocp.CheckpointManager, step: int) -> bool:
     """True when the stored payload at ``step`` contains an ema_params tree."""
+    md = mgr.item_metadata(step)
+    if md is not None:  # None: a fresh manager can't infer the item handler
+        return "ema_params" in md.keys()
+    # Fall back to orbax's on-disk pytree metadata (tree_metadata keys are
+    # stringified key paths like "('params', 'w')").
+    meta_path = os.path.join(directory, str(step), "default", "_METADATA")
     try:
-        return "ema_params" in mgr.item_metadata(step).keys()
-    except Exception:
-        # Metadata probing unavailable (older layout): assume EMA is present so
-        # a genuine mismatch surfaces as a loud restore error rather than a
+        with open(meta_path) as f:
+            tree = json.load(f).get("tree_metadata", {})
+        return any(k.startswith("('ema_params'") for k in tree)
+    except OSError:
+        # Metadata unavailable (older layout): assume EMA is present so a
+        # genuine mismatch surfaces as a loud restore error rather than a
         # silent EMA re-seed.
         return True
 
@@ -135,7 +143,7 @@ def restore_checkpoint(directory: str, template_state, step: Optional[int] = Non
             # would also swallow unrelated restore failures and silently
             # re-seed EMA from raw params, losing trained EMA weights) and
             # include ema_params only when the checkpoint actually has it.
-            if _stored_has_ema(mgr, step):
+            if _stored_has_ema(directory, mgr, step):
                 template["ema_params"] = template_state.ema_params
         restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     ema = restored.get("ema_params")

@@ -61,11 +61,10 @@ def make_eval_step(model, loss_fn: Callable, preprocess: Optional[Callable] = No
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         b = preprocess(batch, None) if preprocess is not None else batch
-        outputs = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            b,
-            train=False,
-        )
+        # eval_variables serves the EMA weights when optimizer.ema_decay is on:
+        # validation loss — and therefore best-checkpoint selection — must judge
+        # the weights that will actually be served (state.py eval contract).
+        outputs = model.apply(state.eval_variables(), b, train=False)
         return loss_fn(outputs, b, False)
 
     return jax.jit(step_fn)

@@ -234,3 +234,24 @@ def test_augment_batch_with_boxes_elastic_tracks_blob():
     pad = 2.5
     assert b[0] <= xs.min() + pad and b[2] >= xs.max() - pad
     assert b[1] <= ys.min() + pad and b[3] >= ys.max() - pad
+
+def test_shear_is_x_axis_like_albumentations():
+    """Affine shear must displace x as a function of y (skimage/albumentations
+    AffineTransform parametrization: shear is an angle in the y basis column).
+    Regression: an earlier revision applied [[1,0],[sh,1]] — a y-axis shear."""
+    cfg = AugmentConfig(hflip_p=0.0, vflip_p=0.0, affine_p=1.0,
+                        rotate_deg=0.0, shear_deg=20.0,
+                        scale_min=1.0, scale_max=1.0, translate_frac=0.0,
+                        elastic_p=0.0)
+    mats = sample_affine_matrices(jax.random.PRNGKey(3), 16, 64, 64, cfg)
+    mats = np.asarray(mats)
+    # mats hold the INVERSE map (dst->src); invert back to the forward F
+    for m in mats:
+        F = np.linalg.inv(m[:, :2])
+        # with rotation=0: F = [[sx, -sy*sin(sh)], [0, sy*cos(sh)]]
+        assert abs(F[1, 0]) < 1e-5, F          # no y-shear component
+        sh = np.arctan2(-F[0, 1], F[1, 1])
+        assert abs(sh) <= np.deg2rad(20.0) + 1e-6
+    # at least one draw actually sheared
+    Fs = [np.linalg.inv(m[:, :2]) for m in mats]
+    assert max(abs(F[0, 1]) for F in Fs) > 1e-3
