@@ -145,6 +145,10 @@ def main() -> None:
         cfg.model.image_encoder.remat = not tpu_opt
         cfg.model.image_encoder.fused_mbconv = fused
         cfg.model.image_encoder.tpu_optimized = tpu_opt
+        if tpu_opt:
+            # the promoted r3 recipe's capacity trims (keep HLO == bench.py)
+            cfg.model.image_encoder.tpu_slim_stage3 = 256
+            cfg.model.image_encoder.tpu_slim_stage5 = 768
         h, w = cfg.data.image_size_h, cfg.data.image_size_w
         seq = cfg.data.text_max_length
         model = build_model(cfg.model.to_dict(), dtype=jnp.bfloat16)
@@ -157,7 +161,8 @@ def main() -> None:
         def preprocess(b, rng):
             b = dict(b)
             b["images"], b["image_views"] = augment_two_views(
-                b["images"], b["image_views"], rng, aug, mean, std, train=True)
+                b["images"], b["image_views"], rng, aug, mean, std, train=True,
+                out_dtype=jnp.bfloat16 if tpu_opt else None)
             return b
 
         ids = r.integers(1, cfg.model.text_encoder.vocab_size,

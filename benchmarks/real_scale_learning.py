@@ -86,6 +86,10 @@ def main(argv=None) -> None:
                     help="pickle the final variables here (for the warm arm)")
     ap.add_argument("--warm-from", type=str, default="",
                     help="pickle of compat variables to warm-start from")
+    ap.add_argument("--lr-scale", type=float, default=1.0,
+                    help="peak-LR multiplier (the optimizer.warm_start_lr_scale "
+                    "production knob: the full-peak warm arm drifted upward "
+                    "past convergence, BASELINE.md r3 observation 1)")
     ap.add_argument("--slim-stage3", type=int, default=0, metavar="E",
                     help="with a flagship path: tpu_slim_stage3 override — the "
                     "quality gate for the banked -7%% capacity cut "
@@ -114,6 +118,8 @@ def main(argv=None) -> None:
 
     compat = args.path == "compat"
     path_label = args.path
+    if args.lr_scale != 1.0:
+        path_label += f"-lr[{args.lr_scale}]"
     if args.slim_stage3:
         path_label += f"-slim3[{args.slim_stage3}]"
     if args.slim_stage5:
@@ -133,7 +139,8 @@ def main(argv=None) -> None:
 
     model = build_model(cfg.model.to_dict(), dtype=jnp.bfloat16)
     loss_fn = build_loss(cfg.loss.to_dict())
-    schedule = warmup_cosine_sq_schedule(cfg.optimizer.lr, total_steps=10_000, warmup_steps=500)
+    schedule = warmup_cosine_sq_schedule(cfg.optimizer.lr * args.lr_scale,
+                                         total_steps=10_000, warmup_steps=500)
     tx = build_optimizer(cfg.optimizer.to_dict(), schedule)
 
     aug = AugmentConfig.from_dict(cfg.augment.to_dict())
