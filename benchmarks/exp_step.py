@@ -45,6 +45,8 @@ def main() -> None:
     ap.add_argument("--slim-stage3", type=int, default=None, metavar="E",
                     help="with --tpu-opt: expanded-width override for the "
                     "E=384 k5 stage (capacity-cut probe, ROADMAP #2)")
+    ap.add_argument("--slim-stage6", type=int, default=None, metavar="E",
+                    help="tpu_slim_stage6 override (E=1792 k5 blocks)")
     ap.add_argument("--slim-stage5", type=int, default=None, metavar="E",
                     help="with --tpu-opt: expanded-width override for the "
                     "E=1024 k5 stage (B5 stage5 in-stage blocks; the next "
@@ -124,6 +126,8 @@ def main() -> None:
         cfg.model.image_encoder.tpu_slim_stage3 = args.slim_stage3
     if args.slim_stage5 is not None:
         cfg.model.image_encoder.tpu_slim_stage5 = args.slim_stage5
+    if args.slim_stage6 is not None:
+        cfg.model.image_encoder.tpu_slim_stage6 = args.slim_stage6
     B = args.batch
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length

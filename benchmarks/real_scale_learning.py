@@ -8,7 +8,10 @@ multi-positive loss, AdamW + the bench schedule) — and shows each path learns 
 transferable feature (zero-shot AUROC on held-out images) at real scale:
 
 * ``--path compat``          reference-exact checkpoint-compatible path
-* ``--path flagship``        the tpu_optimized flagship recipe (bench default)
+* ``--path flagship``        the tpu_optimized flagship recipe; NOTE: the
+                             promoted bench recipe additionally carries
+                             --slim-stage3 256 --slim-stage5 768 (r3), so
+                             pass those to reproduce what bench.py measures
 * ``--path flagship-warm``   flagship importance-warm-started from the compat
                              arm's trained weights (convert/flagship_init) —
                              quality evidence for the warm-start feature: the
@@ -96,6 +99,8 @@ def main(argv=None) -> None:
                     "(BASELINE.md r3); 0 = off")
     ap.add_argument("--slim-stage5", type=int, default=0, metavar="E",
                     help="with a flagship path: tpu_slim_stage5 override; 0 = off")
+    ap.add_argument("--slim-stage6", type=int, default=0, metavar="E",
+                    help="with a flagship path: tpu_slim_stage6 override; 0 = off")
     args = ap.parse_args(argv)
 
     import jax
@@ -124,6 +129,8 @@ def main(argv=None) -> None:
         path_label += f"-slim3[{args.slim_stage3}]"
     if args.slim_stage5:
         path_label += f"-slim5[{args.slim_stage5}]"
+    if args.slim_stage6:
+        path_label += f"-slim6[{args.slim_stage6}]"
     cfg = default_pretrain_config("b5")
     cfg.model.image_encoder.remat = True
     if not compat:
@@ -131,7 +138,8 @@ def main(argv=None) -> None:
         cfg.model.image_encoder.remat = False
         cfg.model.image_encoder.tpu_slim_stage3 = args.slim_stage3
         cfg.model.image_encoder.tpu_slim_stage5 = args.slim_stage5
-    elif args.slim_stage3 or args.slim_stage5:
+        cfg.model.image_encoder.tpu_slim_stage6 = args.slim_stage6
+    elif args.slim_stage3 or args.slim_stage5 or args.slim_stage6:
         ap.error("--slim-stage* only applies to the flagship paths")
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
@@ -195,6 +203,7 @@ def main(argv=None) -> None:
         # them too (those arms forgo the bench_infer cache hit)
         eval_cfg.model.image_encoder.tpu_slim_stage3 = args.slim_stage3
         eval_cfg.model.image_encoder.tpu_slim_stage5 = args.slim_stage5
+        eval_cfg.model.image_encoder.tpu_slim_stage6 = args.slim_stage6
     eval_model = build_model(eval_cfg.model.to_dict(), dtype=jnp.bfloat16)
 
     @jax.jit

@@ -585,6 +585,13 @@ class EfficientNet(nn.Module):
     #   second-biggest component (47 ms; ROADMAP r3 #3 names it the next
     #   capacity-cut candidate). e.g. 768 cuts those expanded bytes 25%.
     #   Opt-in, same quality caveats as tpu_slim_stage3. 0 = off (default).
+    tpu_slim_stage6: int = 0  # same probe for the k5 blocks whose EXPANDED
+    #   width is 1792 under the dense remap (1824 without it): B5 stage6's
+    #   in-stage blocks 28-35 (the stage7 entry block expands at the same
+    #   width but is k3 and excluded). The r3-final profile puts stage6 at
+    #   27 ms / 75% HBM-bound — the next capacity-cut candidate after the
+    #   promoted stage3/5 trims (e.g. 1536 cuts those expanded bytes ~14%).
+    #   Opt-in pending its own quality arm. 0 = off (default).
     quant_int8_k5: bool = False  # run the k5 stages' (B5: stages 3/5/6) 1x1
     #   expand/project convs as int8 MXU matmuls (ops/quant.py; VERDICT r2 #5,
     #   v5e int8 MXU). Checkpoint-identical param tree; forward-only
@@ -678,6 +685,13 @@ class EfficientNet(nn.Module):
                 tgt = 1024 if self.tpu_dense_widths else 1056
                 args = [
                     dataclasses.replace(a, expand_filters=self.tpu_slim_stage5)
+                    if (a.kernel == 5 and a.expanded == tgt) else a
+                    for a in args
+                ]
+            if self.tpu_slim_stage6:
+                tgt = 1792 if self.tpu_dense_widths else 1824
+                args = [
+                    dataclasses.replace(a, expand_filters=self.tpu_slim_stage6)
                     if (a.kernel == 5 and a.expanded == tgt) else a
                     for a in args
                 ]

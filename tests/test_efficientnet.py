@@ -272,3 +272,32 @@ def test_tpu_slim_stage5_override():
                                       tpu_slim_stage3=256, tpu_slim_stage5=768))
     changed2 = {k for k in base if base[k] != both[k]}
     assert changed2 == {f"block_{i}" for i in (9, 10, 11, 12)} | {f"block_{i}" for i in range(21, 28)}
+
+def test_tpu_slim_stage6_override():
+    """tpu_slim_stage6=E overrides the expanded width of exactly the k5 blocks
+    at E=1792 (B5 stage6 in-stage blocks 28-35; the stage7 entry block 36
+    expands at the same width but is k3 and must stay) — the r4 capacity-cut
+    candidate (BASELINE.md r3-final profile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.models.efficientnet import EfficientNet
+
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+
+    def expand_widths(m):
+        v = jax.eval_shape(lambda: m.init({"params": jax.random.PRNGKey(0)}, x, False))
+        out = {}
+        for name, sub in v["params"].items():
+            if name.startswith("block_") and "expand_conv" in sub:
+                out[name] = sub["expand_conv"]["kernel"].shape[-1]
+        return out
+
+    base = expand_widths(EfficientNet(variant="b5", in_channels=1, tpu_optimized=True))
+    slim = expand_widths(EfficientNet(variant="b5", in_channels=1, tpu_optimized=True,
+                                      tpu_slim_stage6=1536))
+    changed = {k for k in base if base[k] != slim[k]}
+    assert changed == {f"block_{i}" for i in range(28, 36)}, changed
+    for k in changed:
+        assert base[k] == 1792 and slim[k] == 1536, (k, base[k], slim[k])
+    assert base["block_36"] == slim["block_36"]  # k3 stage7 entry untouched
