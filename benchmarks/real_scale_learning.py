@@ -101,6 +101,8 @@ def main(argv=None) -> None:
                     help="with a flagship path: tpu_slim_stage5 override; 0 = off")
     ap.add_argument("--slim-stage6", type=int, default=0, metavar="E",
                     help="with a flagship path: tpu_slim_stage6 override; 0 = off")
+    ap.add_argument("--slim-stage4", type=int, default=0, metavar="E",
+                    help="with a flagship path: tpu_slim_stage4 override; 0 = off")
     args = ap.parse_args(argv)
 
     import jax
@@ -131,6 +133,8 @@ def main(argv=None) -> None:
         path_label += f"-slim5[{args.slim_stage5}]"
     if args.slim_stage6:
         path_label += f"-slim6[{args.slim_stage6}]"
+    if args.slim_stage4:
+        path_label += f"-slim4[{args.slim_stage4}]"
     cfg = default_pretrain_config("b5")
     cfg.model.image_encoder.remat = True
     if not compat:
@@ -139,7 +143,8 @@ def main(argv=None) -> None:
         cfg.model.image_encoder.tpu_slim_stage3 = args.slim_stage3
         cfg.model.image_encoder.tpu_slim_stage5 = args.slim_stage5
         cfg.model.image_encoder.tpu_slim_stage6 = args.slim_stage6
-    elif args.slim_stage3 or args.slim_stage5 or args.slim_stage6:
+        cfg.model.image_encoder.tpu_slim_stage4 = args.slim_stage4
+    elif args.slim_stage3 or args.slim_stage5 or args.slim_stage6 or args.slim_stage4:
         ap.error("--slim-stage* only applies to the flagship paths")
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
@@ -204,6 +209,7 @@ def main(argv=None) -> None:
         eval_cfg.model.image_encoder.tpu_slim_stage3 = args.slim_stage3
         eval_cfg.model.image_encoder.tpu_slim_stage5 = args.slim_stage5
         eval_cfg.model.image_encoder.tpu_slim_stage6 = args.slim_stage6
+        eval_cfg.model.image_encoder.tpu_slim_stage4 = args.slim_stage4
     eval_model = build_model(eval_cfg.model.to_dict(), dtype=jnp.bfloat16)
 
     @jax.jit

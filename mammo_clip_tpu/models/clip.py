@@ -115,7 +115,9 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
         tpu_front_expand=config.get("tpu_front_expand", 1),
         tpu_dense_widths=config.get("tpu_dense_widths", True),
         tpu_slim_stage3=config.get("tpu_slim_stage3", 0),
+        tpu_slim_stage4=config.get("tpu_slim_stage4", 0),
         tpu_slim_stage5=config.get("tpu_slim_stage5", 0),
+        tpu_slim_stage6=config.get("tpu_slim_stage6", 0),
         quant_int8_k5=config.get("quant_int8_k5", False),
         pooling=config.get("pooling", "avg"),
         dtype=dtype,

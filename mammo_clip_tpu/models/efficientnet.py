@@ -592,6 +592,14 @@ class EfficientNet(nn.Module):
     #   27 ms / 75% HBM-bound — the next capacity-cut candidate after the
     #   promoted stage3/5 trims (e.g. 1536 cuts those expanded bytes ~14%).
     #   Opt-in pending its own quality arm. 0 = off (default).
+    tpu_slim_stage4: int = 0  # same probe for the k3 blocks whose EXPANDED
+    #   width is 768 (128*6, already lane-dense): B5 stage4's
+    #   in-stage blocks 14-19 (the stage5 entry block 20 expands at the same
+    #   width but is k5 and excluded; the stage4 entry block 13 expands at
+    #   384 and is untouched). The r3 promoted-recipe profile puts stage4 at
+    #   27.8 ms / 95% HBM-bound — the remaining capacity-cut candidate beside
+    #   stage6 (e.g. 512 cuts those expanded bytes ~1/3). Opt-in pending its
+    #   own quality arm. 0 = off (default).
     quant_int8_k5: bool = False  # run the k5 stages' (B5: stages 3/5/6) 1x1
     #   expand/project convs as int8 MXU matmuls (ops/quant.py; VERDICT r2 #5,
     #   v5e int8 MXU). Checkpoint-identical param tree; forward-only
@@ -693,6 +701,14 @@ class EfficientNet(nn.Module):
                 args = [
                     dataclasses.replace(a, expand_filters=self.tpu_slim_stage6)
                     if (a.kernel == 5 and a.expanded == tgt) else a
+                    for a in args
+                ]
+            if self.tpu_slim_stage4:
+                # stage4's expanded width is 768 (128*6) with or without the
+                # dense remap — already a 128-multiple
+                args = [
+                    dataclasses.replace(a, expand_filters=self.tpu_slim_stage4)
+                    if (a.kernel == 3 and a.expanded == 768) else a
                     for a in args
                 ]
             block_offset = skip

@@ -301,3 +301,68 @@ def test_tpu_slim_stage6_override():
     for k in changed:
         assert base[k] == 1792 and slim[k] == 1536, (k, base[k], slim[k])
     assert base["block_36"] == slim["block_36"]  # k3 stage7 entry untouched
+
+
+def test_tpu_slim_stage4_override():
+    """tpu_slim_stage4=E overrides the expanded width of exactly the k3 blocks
+    at E=768 (B5 stage4 in-stage blocks 14-19; the k5 stage5 entry block 20
+    expands at the same 768 and must stay; the stage4 entry block 13 expands
+    at 384 and must stay)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.models.efficientnet import EfficientNet
+
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+
+    def expand_widths(m):
+        v = jax.eval_shape(lambda: m.init({"params": jax.random.PRNGKey(0)}, x, False))
+        out = {}
+        for name, sub in v["params"].items():
+            if name.startswith("block_") and "expand_conv" in sub:
+                out[name] = sub["expand_conv"]["kernel"].shape[-1]
+        return out
+
+    base = expand_widths(EfficientNet(variant="b5", in_channels=1, tpu_optimized=True))
+    slim = expand_widths(EfficientNet(variant="b5", in_channels=1, tpu_optimized=True,
+                                      tpu_slim_stage4=512))
+    changed = {k for k in base if base[k] != slim[k]}
+    assert changed == {f"block_{i}" for i in range(14, 20)}, changed
+    for k in changed:
+        assert base[k] == 768 and slim[k] == 512, (k, base[k], slim[k])
+    assert base["block_20"] == slim["block_20"]  # k5 stage5 entry untouched
+    assert base["block_13"] == slim["block_13"]  # stage4 entry (E384) untouched
+
+
+def test_slim_flags_reach_factory():
+    """Every tpu_slim_stageN flag must survive the config-dict -> factory path
+    (models/clip.py load_image_encoder), not just direct EfficientNet
+    construction — tpu_slim_stage6 was silently dropped there once (r3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.models.clip import load_image_encoder
+
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+
+    def expand_widths(cfg):
+        m = load_image_encoder(cfg)
+        v = jax.eval_shape(lambda: m.init({"params": jax.random.PRNGKey(0)}, x, False))
+        out = {}
+        for name, sub in v["params"].items():
+            if name.startswith("block_") and "expand_conv" in sub:
+                out[name] = sub["expand_conv"]["kernel"].shape[-1]
+        return out
+
+    base_cfg = {"name": "tf_efficientnet_b5_ns", "in_channels": 1, "tpu_optimized": True}
+    base = expand_widths(base_cfg)
+    for flag, E, blocks in [
+        ("tpu_slim_stage3", 256, range(9, 13)),
+        ("tpu_slim_stage4", 512, range(14, 20)),
+        ("tpu_slim_stage5", 768, range(21, 28)),
+        ("tpu_slim_stage6", 1536, range(28, 36)),
+    ]:
+        slim = expand_widths({**base_cfg, flag: E})
+        changed = {k for k in base if base[k] != slim[k]}
+        assert changed == {f"block_{i}" for i in blocks}, (flag, changed)
+        assert all(slim[k] == E for k in changed), flag
