@@ -105,6 +105,7 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
         variant=efficientnet_variant(name),
         in_channels=config.get("in_channels", 1),
         feature_taps=tuple(config.get("feature_taps", ())),
+        drop_connect_rate=config.get("drop_connect_rate", 0.2),
         remat=config.get("remat", False),
         remat_max_reduction=config.get("remat_max_reduction", 16),
         packed_residuals=config.get("packed_residuals", False),

@@ -366,3 +366,34 @@ def test_slim_flags_reach_factory():
         changed = {k for k in base if base[k] != slim[k]}
         assert changed == {f"block_{i}" for i in blocks}, (flag, changed)
         assert all(slim[k] == E for k in changed), flag
+
+
+def test_every_encoder_field_reaches_factory():
+    """Generalized guard for the r3 silent-drop bug class: every scalar config
+    field on EfficientNet must survive the config-dict -> load_image_encoder
+    path. Constructs a config with a distinctive value per field and checks
+    the built module carries it."""
+    import dataclasses
+
+    from mammo_clip_tpu.models.clip import load_image_encoder
+    from mammo_clip_tpu.models.efficientnet import EfficientNet
+
+    skip = {"parent", "name", "dtype", "variant"}  # construction-level knobs
+    probe_value = {bool: True, int: 13, str: "gem", float: 0.125}
+    base = {"name": "tf_efficientnet_b5_ns"}
+    for f in dataclasses.fields(EfficientNet):
+        if f.name in skip:
+            continue
+        default = f.default
+        if type(default) not in probe_value:
+            if f.name == "feature_taps":
+                got = load_image_encoder({**base, "feature_taps": [3, 5]})
+                assert got.feature_taps == (3, 5), "feature_taps dropped"
+                continue
+            raise AssertionError(f"unhandled field type for {f.name}: add a probe")
+        val = probe_value[type(default)]
+        if val == default:  # need a value that differs from the default
+            val = False if isinstance(default, bool) else (default + 1 if isinstance(default, int) else "avg")
+        got = load_image_encoder({**base, f.name: val})
+        assert getattr(got, f.name) == val, (
+            f"EfficientNet.{f.name} silently dropped by load_image_encoder")
