@@ -103,6 +103,18 @@ def main(argv=None) -> None:
                     help="with a flagship path: tpu_slim_stage6 override; 0 = off")
     ap.add_argument("--slim-stage4", type=int, default=0, metavar="E",
                     help="with a flagship path: tpu_slim_stage4 override; 0 = off")
+    ap.add_argument("--ckpt", type=str, default="",
+                    help="periodically pickle the full train state here; a "
+                    "wedged arm (this pod's relay occasionally blocks forever "
+                    "on a fetch after 30-60 min, BASELINE.md r3) can then be "
+                    "resumed with --resume instead of losing the run")
+    ap.add_argument("--ckpt-every", type=int, default=500,
+                    help="checkpoint interval in steps (state fetch through "
+                    "the relay costs ~1-2 min, so keep this coarse)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --ckpt: restores params/batch_stats/"
+                    "opt_state and fast-forwards the deterministic batch-"
+                    "composition stream to the saved step")
     args = ap.parse_args(argv)
 
     import jax
@@ -245,7 +257,42 @@ def main(argv=None) -> None:
     step_rng = jax.random.PRNGKey(1)
     t0 = time.time()
     loss_val = float("nan")
-    for step in range(args.steps):
+
+    start_step = 0
+    order = None
+    if args.resume:
+        with open(args.ckpt, "rb") as f:
+            saved = pickle.load(f)
+        state = state.replace(
+            step=jnp.asarray(saved["step"], jnp.int32),
+            params=jax.tree_util.tree_map(jnp.asarray, saved["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, saved["batch_stats"]),
+            opt_state=jax.tree_util.tree_map(jnp.asarray, saved["opt_state"]),
+        )
+        start_step = int(saved["step"])
+        # fast-forward the deterministic batch-composition stream: replay the
+        # per-epoch permutation draws up to (and including) the current epoch
+        for _ in range(start_step // spe + (1 if start_step % spe else 0)):
+            order = order_rng.permutation(n)
+        print(f"[{path_label}] resumed at step {start_step} from {args.ckpt}",
+              file=sys.stderr)
+
+    def _save_ckpt(st, step_done):
+        tmp = args.ckpt + ".tmp"
+        payload = {
+            "step": step_done,
+            "params": jax.tree_util.tree_map(np.asarray, st.params),
+            "batch_stats": jax.tree_util.tree_map(np.asarray, st.batch_stats),
+            "opt_state": jax.tree_util.tree_map(np.asarray, st.opt_state),
+        }
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        import os as _os
+        _os.replace(tmp, args.ckpt)
+        print(f"[{path_label}] checkpointed step {step_done} -> {args.ckpt}",
+              file=sys.stderr)
+
+    for step in range(start_step, args.steps):
         k = step % spe
         if k == 0:
             order = order_rng.permutation(n)
@@ -267,6 +314,8 @@ def main(argv=None) -> None:
                               "loss": round(loss_val, 4), "auroc": round(a, 4),
                               "wall_s": round(time.time() - t0, 1)}))
             sys.stdout.flush()
+        if args.ckpt and (step + 1) % args.ckpt_every == 0 and step + 1 < args.steps:
+            _save_ckpt(state, step + 1)
 
     if args.save_params:
         v = {"params": jax.tree_util.tree_map(np.asarray, state.params),
