@@ -119,6 +119,7 @@ def load_image_encoder(config: Dict, dtype: Any = jnp.float32) -> nn.Module:
         tpu_slim_stage4=config.get("tpu_slim_stage4", 0),
         tpu_slim_stage5=config.get("tpu_slim_stage5", 0),
         tpu_slim_stage6=config.get("tpu_slim_stage6", 0),
+        tpu_slim_stage7=config.get("tpu_slim_stage7", 0),
         quant_int8_k5=config.get("quant_int8_k5", False),
         pooling=config.get("pooling", "avg"),
         dtype=dtype,

@@ -600,6 +600,11 @@ class EfficientNet(nn.Module):
     #   27.8 ms / 95% HBM-bound — the remaining capacity-cut candidate beside
     #   stage6 (e.g. 512 cuts those expanded bytes ~1/3). Opt-in pending its
     #   own quality arm. 0 = off (default).
+    tpu_slim_stage7: int = 0  # same probe for the k3 blocks whose EXPANDED
+    #   width is 3072 (512*6, already lane-dense): B5 stage7's in-stage
+    #   blocks 37-38. Smallest candidate (stage7 is 12.8 ms / 61% HBM-bound
+    #   in the r3 profile) and the closest stage to the head features —
+    #   probe last. Opt-in pending its own quality arm. 0 = off (default).
     quant_int8_k5: bool = False  # run the k5 stages' (B5: stages 3/5/6) 1x1
     #   expand/project convs as int8 MXU matmuls (ops/quant.py; VERDICT r2 #5,
     #   v5e int8 MXU). Checkpoint-identical param tree; forward-only
@@ -709,6 +714,13 @@ class EfficientNet(nn.Module):
                 args = [
                     dataclasses.replace(a, expand_filters=self.tpu_slim_stage4)
                     if (a.kernel == 3 and a.expanded == 768) else a
+                    for a in args
+                ]
+            if self.tpu_slim_stage7:
+                # stage7's expanded width is 3072 (512*6), already lane-dense
+                args = [
+                    dataclasses.replace(a, expand_filters=self.tpu_slim_stage7)
+                    if (a.kernel == 3 and a.expanded == 3072) else a
                     for a in args
                 ]
             block_offset = skip

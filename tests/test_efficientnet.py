@@ -361,6 +361,7 @@ def test_slim_flags_reach_factory():
         ("tpu_slim_stage4", 512, range(14, 20)),
         ("tpu_slim_stage5", 768, range(21, 28)),
         ("tpu_slim_stage6", 1536, range(28, 36)),
+        ("tpu_slim_stage7", 2560, range(37, 39)),
     ]:
         slim = expand_widths({**base_cfg, flag: E})
         changed = {k for k in base if base[k] != slim[k]}
