@@ -49,6 +49,8 @@ def main() -> None:
                     help="tpu_slim_stage6 override (E=1792 k5 blocks)")
     ap.add_argument("--slim-stage4", type=int, default=None, metavar="E",
                     help="tpu_slim_stage4 override (E=768 k3 in-stage blocks)")
+    ap.add_argument("--slim-stage7", type=int, default=None, metavar="E",
+                    help="tpu_slim_stage7 override (E=3072 k3 blocks)")
     ap.add_argument("--slim-stage5", type=int, default=None, metavar="E",
                     help="with --tpu-opt: expanded-width override for the "
                     "E=1024 k5 stage (B5 stage5 in-stage blocks; the next "
@@ -132,6 +134,8 @@ def main() -> None:
         cfg.model.image_encoder.tpu_slim_stage6 = args.slim_stage6
     if args.slim_stage4 is not None:
         cfg.model.image_encoder.tpu_slim_stage4 = args.slim_stage4
+    if args.slim_stage7 is not None:
+        cfg.model.image_encoder.tpu_slim_stage7 = args.slim_stage7
     B = args.batch
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length

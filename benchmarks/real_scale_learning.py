@@ -103,6 +103,8 @@ def main(argv=None) -> None:
                     help="with a flagship path: tpu_slim_stage6 override; 0 = off")
     ap.add_argument("--slim-stage4", type=int, default=0, metavar="E",
                     help="with a flagship path: tpu_slim_stage4 override; 0 = off")
+    ap.add_argument("--slim-stage7", type=int, default=0, metavar="E",
+                    help="with a flagship path: tpu_slim_stage7 override; 0 = off")
     ap.add_argument("--ckpt", type=str, default="",
                     help="periodically pickle the full train state here; a "
                     "wedged arm (this pod's relay occasionally blocks forever "
@@ -147,6 +149,8 @@ def main(argv=None) -> None:
         path_label += f"-slim6[{args.slim_stage6}]"
     if args.slim_stage4:
         path_label += f"-slim4[{args.slim_stage4}]"
+    if args.slim_stage7:
+        path_label += f"-slim7[{args.slim_stage7}]"
     cfg = default_pretrain_config("b5")
     cfg.model.image_encoder.remat = True
     if not compat:
@@ -156,7 +160,9 @@ def main(argv=None) -> None:
         cfg.model.image_encoder.tpu_slim_stage5 = args.slim_stage5
         cfg.model.image_encoder.tpu_slim_stage6 = args.slim_stage6
         cfg.model.image_encoder.tpu_slim_stage4 = args.slim_stage4
-    elif args.slim_stage3 or args.slim_stage5 or args.slim_stage6 or args.slim_stage4:
+        cfg.model.image_encoder.tpu_slim_stage7 = args.slim_stage7
+    elif (args.slim_stage3 or args.slim_stage5 or args.slim_stage6
+          or args.slim_stage4 or args.slim_stage7):
         ap.error("--slim-stage* only applies to the flagship paths")
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
