@@ -228,6 +228,7 @@ def main(argv=None) -> None:
         eval_cfg.model.image_encoder.tpu_slim_stage5 = args.slim_stage5
         eval_cfg.model.image_encoder.tpu_slim_stage6 = args.slim_stage6
         eval_cfg.model.image_encoder.tpu_slim_stage4 = args.slim_stage4
+        eval_cfg.model.image_encoder.tpu_slim_stage7 = args.slim_stage7
     eval_model = build_model(eval_cfg.model.to_dict(), dtype=jnp.bfloat16)
 
     @jax.jit
