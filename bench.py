@@ -91,14 +91,16 @@ def main(argv=None) -> None:
         # remat is a net loss — run without it (12.8 GB temp at bs8).
         cfg.model.image_encoder.tpu_optimized = True
         cfg.model.image_encoder.remat = False
-        # r3 capacity trims on the two biggest HBM streams (stage3 E384->256,
-        # stage5-group E1024->768): combined -8% step time measured here
-        # (254 vs 277 ms, 63.0 vs 57.8 img/s); quality gated by the
-        # real-scale learning arms (BASELINE.md r3 "real-scale learning":
-        # the trimmed recipe ends at the same loss and zero-shot bar as the
-        # untrimmed flagship at production scale)
+        # r3 capacity trims on the biggest HBM streams (stage3 E384->256,
+        # stage5-group E1024->768, then stage6 E1792->1536 + stage4
+        # E768->512): each promotion measured here and quality-gated by a
+        # full real-scale learning arm at production scale (BASELINE.md r3
+        # "real-scale learning" + "stage6+stage4 arm": every trimmed recipe
+        # ends at the same loss and zero-shot bar as the untrimmed flagship)
         cfg.model.image_encoder.tpu_slim_stage3 = 256
         cfg.model.image_encoder.tpu_slim_stage5 = 768
+        cfg.model.image_encoder.tpu_slim_stage6 = 1536
+        cfg.model.image_encoder.tpu_slim_stage4 = 512
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
 
