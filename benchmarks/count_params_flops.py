@@ -57,8 +57,22 @@ def main() -> None:
     r3w = analyze("r3 +dense widths (front e2)", tpu_optimized=True,
                   tpu_front_expand=2)
     flag = analyze("flagship r3 (dense, front e1)", tpu_optimized=True)
+    slim35 = analyze("r3 promoted (slim3+5)", tpu_optimized=True,
+                     tpu_slim_stage3=256, tpu_slim_stage5=768)
+    promoted = analyze("promoted recipe (slim3+5+6+4)", tpu_optimized=True,
+                       tpu_slim_stage3=256, tpu_slim_stage5=768,
+                       tpu_slim_stage6=1536, tpu_slim_stage4=512)
+    slim7 = analyze("promoted + slim7=2048", tpu_optimized=True,
+                    tpu_slim_stage3=256, tpu_slim_stage5=768,
+                    tpu_slim_stage6=1536, tpu_slim_stage4=512,
+                    tpu_slim_stage7=2048)
+    negctl = analyze("negative control (slim3=128,5=384)", tpu_optimized=True,
+                     tpu_slim_stage3=128, tpu_slim_stage5=384)
     for name, row in (("r2 / compat", r2), ("r3-e2 / compat", r3w),
-                      ("r3 / compat", flag)):
+                      ("r3 / compat", flag), ("slim3+5 / compat", slim35),
+                      ("promoted / compat", promoted),
+                      ("promoted+slim7 / compat", slim7),
+                      ("neg-control / compat", negctl)):
         print(f"{name:32s} params {row[0]/base[0]:8.3f}     "
               f"fwd {row[1]/base[1]:8.3f}")
 

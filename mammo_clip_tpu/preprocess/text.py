@@ -7,8 +7,10 @@
 * ``build_pretrain_rows``: groupby patient+laterality -> image/CC/MLO/text lists, the
   clip_pretrain CSV schema (augment_text.py:190-264);
 * ``BackTranslator``: en->{it,de}->en MarianMT round trip with temperature sampling
-  (augment_text.py:123-187). Gated: MarianMT weights require network/cache; without
-  them the identity augmentation is used and a warning issued (zero-egress friendly).
+  (augment_text.py:123-187). Gated: MarianMT weights require network/cache; the
+  bare BackTranslator degrades to identity with a warning, but the pipeline entry
+  point (``augment_pretrain_csv``) falls back to ``RuleParaphraser`` instead, so
+  the augmented text column never equals the original (zero-egress friendly).
 """
 
 from __future__ import annotations
