@@ -118,6 +118,90 @@ def scaled_block_args(variant: str) -> List[BlockArgs]:
     return out
 
 
+def tpu_optimized_block_args(
+    variant: str,
+    dense_widths: bool = True,
+    slim_stage3: int = 0,
+    slim_stage5: int = 0,
+    slim_stage6: int = 0,
+    slim_stage4: int = 0,
+    slim_stage7: int = 0,
+) -> Tuple[List[BlockArgs], int]:
+    """Deep-stage BlockArgs for the ``tpu_optimized`` layout, plus the number
+    of replaced shallow blocks (``skip``).
+
+    The space-to-depth front end replaces the stem and every block above 1/4
+    scale; the first surviving block's entry is rewired to C=128 / e=2, the
+    dense-width remap snaps widths to 128-multiples, and the slim overrides
+    apply the promoted/probed capacity trims. Shared by
+    ``EfficientNet.__call__`` and ``benchmarks/roofline_ledger.py`` so the
+    byte accounting always matches what the model actually builds."""
+    args = scaled_block_args(variant)
+    sc = 2
+    skip = 0
+    for a in args:
+        if sc > 4 or (sc == 4 and a.stride > 1):
+            break
+        sc *= a.stride
+        skip += 1
+    entry = args[skip]
+    args = [dataclasses.replace(entry, in_filters=128, expand_ratio=2)] + args[skip + 1:]
+    if dense_widths:
+        # lane-dense deep stages: snap I/O widths to the nearest 128-multiple,
+        # snap the expanded width to the nearest too — same bytes where
+        # rounding goes up (the pad becomes real capacity), 1.5-2x fewer where
+        # it goes down (see the tpu_dense_widths flag doc)
+        def _nearest128(c: int) -> int:
+            lo = max(128, (c // 128) * 128)
+            return lo if (c - lo) <= (lo + 128 - c) else lo + 128
+
+        args = [
+            dataclasses.replace(
+                a,
+                in_filters=_nearest128(a.in_filters),
+                out_filters=_nearest128(a.out_filters),
+                expand_filters=_nearest128(a.expanded),
+            )
+            for a in args
+        ]
+    if slim_stage3:
+        args = [
+            dataclasses.replace(a, expand_filters=slim_stage3)
+            if (a.kernel == 5 and a.expanded == 384) else a
+            for a in args
+        ]
+    if slim_stage5:
+        tgt = 1024 if dense_widths else 1056
+        args = [
+            dataclasses.replace(a, expand_filters=slim_stage5)
+            if (a.kernel == 5 and a.expanded == tgt) else a
+            for a in args
+        ]
+    if slim_stage6:
+        tgt = 1792 if dense_widths else 1824
+        args = [
+            dataclasses.replace(a, expand_filters=slim_stage6)
+            if (a.kernel == 5 and a.expanded == tgt) else a
+            for a in args
+        ]
+    if slim_stage4:
+        # stage4's expanded width is 768 (128*6) with or without the dense
+        # remap — already a 128-multiple
+        args = [
+            dataclasses.replace(a, expand_filters=slim_stage4)
+            if (a.kernel == 3 and a.expanded == 768) else a
+            for a in args
+        ]
+    if slim_stage7:
+        # stage7's expanded width is 3072 (512*6), already lane-dense
+        args = [
+            dataclasses.replace(a, expand_filters=slim_stage7)
+            if (a.kernel == 3 and a.expanded == 3072) else a
+            for a in args
+        ]
+    return args, skip
+
+
 def stem_filters(variant: str) -> int:
     return round_filters(32, _VARIANTS[variant][0])
 
@@ -655,74 +739,21 @@ class EfficientNet(nn.Module):
                                 name=f"tpu_front_block_{j}")(x, train)
             # drop the original stem + every block above 1/4 scale; stage 3's
             # entry block now takes C=128 at a comparable expanded width (e=2)
-            sc = 2
-            skip = 0
-            for a in args:
-                if sc > 4 or (sc == 4 and a.stride > 1):
-                    break
-                sc *= a.stride
-                skip += 1
+            args, skip = tpu_optimized_block_args(
+                self.variant,
+                dense_widths=self.tpu_dense_widths,
+                slim_stage3=self.tpu_slim_stage3,
+                slim_stage5=self.tpu_slim_stage5,
+                slim_stage6=self.tpu_slim_stage6,
+                slim_stage4=self.tpu_slim_stage4,
+                slim_stage7=self.tpu_slim_stage7,
+            )
             # taps at deep blocks (>= skip) survive the front-end replacement —
             # the detector's b5 [26,37] taps both live in stages 5/7 (original
             # block numbering is preserved for deep blocks)
             assert all(t >= skip for t in self.feature_taps), (
                 f"tpu_optimized replaces blocks < {skip}; "
                 f"feature_taps {self.feature_taps} reach into the removed front")
-            entry = args[skip]
-            args = [dataclasses.replace(entry, in_filters=128, expand_ratio=2)] + args[skip + 1:]
-            if self.tpu_dense_widths:
-                # lane-dense deep stages: snap I/O widths to the nearest
-                # 128-multiple, round the expanded width UP from the original —
-                # same bytes where rounding goes up (the pad becomes real
-                # capacity), 1.5-2x fewer where it goes down (see flag doc)
-                def _nearest128(c: int) -> int:
-                    lo = max(128, (c // 128) * 128)
-                    return lo if (c - lo) <= (lo + 128 - c) else lo + 128
-
-                args = [
-                    dataclasses.replace(
-                        a,
-                        in_filters=_nearest128(a.in_filters),
-                        out_filters=_nearest128(a.out_filters),
-                        expand_filters=_nearest128(a.expanded),
-                    )
-                    for a in args
-                ]
-            if self.tpu_slim_stage3:
-                args = [
-                    dataclasses.replace(a, expand_filters=self.tpu_slim_stage3)
-                    if (a.kernel == 5 and a.expanded == 384) else a
-                    for a in args
-                ]
-            if self.tpu_slim_stage5:
-                tgt = 1024 if self.tpu_dense_widths else 1056
-                args = [
-                    dataclasses.replace(a, expand_filters=self.tpu_slim_stage5)
-                    if (a.kernel == 5 and a.expanded == tgt) else a
-                    for a in args
-                ]
-            if self.tpu_slim_stage6:
-                tgt = 1792 if self.tpu_dense_widths else 1824
-                args = [
-                    dataclasses.replace(a, expand_filters=self.tpu_slim_stage6)
-                    if (a.kernel == 5 and a.expanded == tgt) else a
-                    for a in args
-                ]
-            if self.tpu_slim_stage4:
-                # stage4's expanded width is 768 (128*6) with or without the
-                # dense remap — already a 128-multiple
-                args = [
-                    dataclasses.replace(a, expand_filters=self.tpu_slim_stage4)
-                    if (a.kernel == 3 and a.expanded == 768) else a
-                    for a in args
-                ]
-            if self.tpu_slim_stage7:
-                # stage7's expanded width is 3072 (512*6), already lane-dense
-                args = [
-                    dataclasses.replace(a, expand_filters=self.tpu_slim_stage7)
-                    if (a.kernel == 3 and a.expanded == 3072) else a
-                    for a in args
-                ]
             block_offset = skip
         else:
             x = nn.Conv(
