@@ -48,6 +48,15 @@ class AugmentConfig:
     elastic_alpha: float = 10.0
     elastic_sigma: float = 15.0
     elastic_downsample: int = 8
+    elastic_fullres_amp: bool = False  # rescale the 1/d-res field so its std
+    #   matches FULL-resolution synthesis (albumentations ElasticTransform
+    #   semantics) at the same alpha. Blurred white noise keeps
+    #   std ∝ sum(k^2) of the discrete kernel, so synthesizing at 1/d res with
+    #   sigma/d carries ~d x the full-res amplitude; at the reference's
+    #   alpha=10/sigma=15 that is 0.85 px vs 0.15 px — both sub-pixel
+    #   (tests/test_augment.py pins the relation; BASELINE.md r4). Default off
+    #   to keep the measured/arm-gated recipes' HLO stable; turn on for exact
+    #   reference-distribution augmentation.
 
     @classmethod
     def from_dict(cls, d: dict) -> "AugmentConfig":
@@ -142,6 +151,18 @@ def sample_elastic_lowres(
     sigma_low = cfg.elastic_sigma / d
     radius = max(int(3 * sigma_low), 1)
     kern = _gaussian_kernel(sigma_low, radius)
+    amp = cfg.elastic_alpha
+    if cfg.elastic_fullres_amp:
+        # match the FULL-res synthesis amplitude (albumentations semantics):
+        # separable blur scales the white-noise std by sum(k^2), so the
+        # correction is the ratio of the two discrete kernels' sum(k^2)
+        # (trace-time Python floats — see the config field doc)
+        import numpy as _np
+
+        kf = _np.asarray(_gaussian_kernel(cfg.elastic_sigma,
+                                          max(int(3 * cfg.elastic_sigma), 1)))
+        kl = _np.asarray(kern)
+        amp = amp * float((kf * kf).sum() / (kl * kl).sum())
     # separable blur via depthwise convs
     noise = jnp.moveaxis(noise, -1, 1).reshape(batch * 2, hh, ww, 1)
     kh = kern.reshape(-1, 1, 1, 1)
@@ -152,7 +173,7 @@ def sample_elastic_lowres(
         blurred, kw, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
     blurred = blurred.reshape(batch, 2, hh, ww).transpose(0, 2, 3, 1)
     gate = (jax.random.uniform(k_gate, (batch, 1, 1, 1)) < cfg.elastic_p).astype(jnp.float32)
-    return blurred * cfg.elastic_alpha * gate
+    return blurred * amp * gate
 
 
 def sample_elastic_displacement(

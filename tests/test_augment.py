@@ -393,3 +393,26 @@ def test_pure_rot90_golden():
     # i.e. np.rot90 with axes (0,1) applied once to the row/col array
     expected = np.rot90(src, k=-1)
     np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_elastic_fullres_amp_matches_reference_amplitude():
+    """With elastic_fullres_amp=True the low-res synthesis is rescaled to the
+    FULL-res (albumentations) amplitude: interior std within ~25% of a numpy
+    full-res reference ensemble (bilinear-upsample attenuation + border
+    handling inside the tolerance)."""
+    from scipy import ndimage
+
+    cfg = AugmentConfig(elastic_p=1.0, elastic_alpha=10.0, elastic_sigma=15.0,
+                        elastic_fullres_amp=True)
+    B, H, W = 48, 256, 192
+    disp = np.asarray(sample_elastic_displacement(
+        jax.random.PRNGKey(7), B, H, W, cfg))
+    m = 48
+    ours = disp[:, m:-m, m:-m, :].std()
+    rng = np.random.default_rng(0)
+    ref = np.stack([
+        ndimage.gaussian_filter(rng.uniform(-1, 1, (H, W)), cfg.elastic_sigma,
+                                mode="nearest") * cfg.elastic_alpha
+        for _ in range(16)
+    ])[:, m:-m, m:-m].std()
+    assert abs(ours / ref - 1.0) < 0.25, (ours, ref)
