@@ -1,7 +1,14 @@
-"""End-to-end CLIP capability test: contrastive pretraining on synthetic image-text
-pairs must produce a model whose ZERO-SHOT prompt classification beats chance by a wide
-margin — exercising batcher, train step, multi-positive loss, embedding extraction and
-the zero-shot evaluator as one pipeline (the reference has no such test, SURVEY.md §4)."""
+"""End-to-end CLIP capability SMOKE test: contrastive pretraining on synthetic
+image-text pairs must produce a model whose ZERO-SHOT prompt classification beats
+chance by a wide margin — exercising batcher, train step, multi-positive loss,
+embedding extraction and the zero-shot evaluator as one pipeline (the reference
+has no such test, SURVEY.md §4).
+
+Scope (VERDICT r3 weak #6): this is a REGRESSION bar — a trivially separable
+task on a tiny b0 that bounds gross breakage only. It is NOT learning-quality
+evidence and cannot rank recipes or see capacity deltas; that instrument is
+the graded real-scale harness (benchmarks/real_scale_learning.py --task
+shapes, production model/resolution on the real chip — BASELINE.md r4)."""
 
 import jax
 import jax.numpy as jnp
