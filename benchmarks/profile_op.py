@@ -146,9 +146,12 @@ def main() -> None:
         cfg.model.image_encoder.fused_mbconv = fused
         cfg.model.image_encoder.tpu_optimized = tpu_opt
         if tpu_opt:
-            # the promoted r3 recipe's capacity trims (keep HLO == bench.py)
+            # the promoted recipe's capacity trims (keep HLO == bench.py;
+            # all FOUR r3 promotions)
             cfg.model.image_encoder.tpu_slim_stage3 = 256
             cfg.model.image_encoder.tpu_slim_stage5 = 768
+            cfg.model.image_encoder.tpu_slim_stage6 = 1536
+            cfg.model.image_encoder.tpu_slim_stage4 = 512
         h, w = cfg.data.image_size_h, cfg.data.image_size_w
         seq = cfg.data.text_max_length
         model = build_model(cfg.model.to_dict(), dtype=jnp.bfloat16)

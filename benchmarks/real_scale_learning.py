@@ -180,9 +180,9 @@ def main(argv=None) -> None:
                     "production knob: the full-peak warm arm drifted upward "
                     "past convergence, BASELINE.md r3 observation 1)")
     ap.add_argument("--slim-stage3", type=int, default=0, metavar="E",
-                    help="with a flagship path: tpu_slim_stage3 override — the "
-                    "quality gate for the banked -7%% capacity cut "
-                    "(BASELINE.md r3); 0 = off")
+                    help="with a flagship path: tpu_slim_stage3 override "
+                    "(256 is part of the promoted bench recipe, r3; 128 is "
+                    "the r4 negative-control cut); 0 = off")
     ap.add_argument("--slim-stage5", type=int, default=0, metavar="E",
                     help="with a flagship path: tpu_slim_stage5 override; 0 = off")
     ap.add_argument("--slim-stage6", type=int, default=0, metavar="E",
