@@ -64,6 +64,10 @@ def main() -> None:
     ap.add_argument("--dump-cols", action="store_true")
     ap.add_argument("--top-other", type=int, default=15,
                     help="print the biggest 'other' rows for reclassification")
+    ap.add_argument("--top-bucket", nargs="*", default=["other"],
+                    help="buckets whose biggest rows to print (r4: pass "
+                    "'other optimizer loss/proj bert' to attribute the "
+                    "ledger's two probe surfaces op by op)")
     args = ap.parse_args()
 
     paths = glob.glob(os.path.join(args.logdir, "**", "*.xplane.pb"), recursive=True)
@@ -109,8 +113,8 @@ def main() -> None:
             hbm_us[b] += us
         bw = float(col(r, "measured memory bw") or 0.0)
         bw_weighted[b] += bw * us
-        if len(examples[b]) < args.top_other:
-            examples[b].append((us, name[:160]))
+        hlo = str(col(r, "hlo op name", "op name") or "")
+        examples[b].append((us, name[:160], hlo[:80]))
 
     per_iter = {k: round(v / 1e3 / args.iters, 1) for k, v in buckets.items()}
     print(json.dumps({"total_ms_per_iter": round(total / 1e3 / args.iters, 1),
@@ -120,10 +124,12 @@ def main() -> None:
                                          for k, v in buckets.items()},
                       "avg_bw_gibs": {k: round(bw_weighted[k] / v, 0)
                                       for k, v in buckets.items()}}))
-    if "other" in buckets:
-        print("\n-- biggest 'other' rows --")
-        for us, name in sorted(examples["other"], reverse=True)[:args.top_other]:
-            print(f"{us / 1e3 / args.iters:8.2f} ms  {name}")
+    for bucket in args.top_bucket:
+        if bucket not in buckets:
+            continue
+        print(f"\n-- biggest '{bucket}' rows --")
+        for us, name, hlo in sorted(examples[bucket], reverse=True)[:args.top_other]:
+            print(f"{us / 1e3 / args.iters:8.2f} ms  {hlo:40s}  {name}")
 
 
 if __name__ == "__main__":

@@ -191,6 +191,29 @@ def main() -> None:
 
         return run
 
+    def bert_workload(amp_scores: bool, texts: int = 16, seq: int = 256):
+        """Production-shape text tower alone (16 texts @ 256 tokens, bf16),
+        fwd+bwd — the ledger's BERT bucket (22.3 ms at 1.99x its MXU floor)
+        isolated so attention-layout probes compile in minutes, not the
+        full-step 10-40 min."""
+        from mammo_clip_tpu.models.bert import BertConfig, BertEncoder
+
+        cfg = BertConfig(dropout_rate=0.0, amp_attn_scores=amp_scores)
+        enc = BertEncoder(cfg, dtype=jnp.bfloat16)
+        ids = jnp.asarray(
+            r.integers(1, cfg.vocab_size, size=(texts, seq), dtype=np.int32))
+        am = jnp.ones((texts, seq), jnp.int32)
+        variables = enc.init(jax.random.PRNGKey(0), ids, am, deterministic=True)
+        w_out = jnp.asarray(
+            r.standard_normal((texts, seq, cfg.hidden_size)) * 0.01, jnp.bfloat16)
+
+        def loss(params, w_out):
+            h = enc.apply({"params": params}, ids, am, deterministic=True)
+            return jnp.sum((h * w_out).astype(jnp.float32))
+
+        g = jax.jit(jax.value_and_grad(loss))
+        return lambda: g(variables["params"], w_out)[0]
+
     if args.workload == "e1_fused":
         fn = block_workload(1, True, 24, 456, 760)
     elif args.workload == "e1_nhwc":
@@ -205,6 +228,10 @@ def main() -> None:
         fn = step_workload(fused=True)
     elif args.workload == "step_tpu_native":
         fn = step_workload(fused=False, tpu_opt=True)
+    elif args.workload == "bert":
+        fn = bert_workload(amp_scores=False)
+    elif args.workload == "bert_amp":
+        fn = bert_workload(amp_scores=True)
     else:
         raise SystemExit(f"unknown workload {args.workload}")
 

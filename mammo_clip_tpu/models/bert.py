@@ -49,6 +49,16 @@ class BertConfig:
     #   unaffected; the concat costs ~7 MB of fp32 reads per layer — noise
     #   next to the matmul. Opt-in perf experiment for the BERT MFU item
     #   (BASELINE.md r3 profile: 22 ms, ~48% MFU).
+    amp_attn_scores: bool = False  # materialize attention logits/probs in the
+    #   activation dtype (bf16) instead of fp32, with the softmax REDUCTION
+    #   still computed in fp32 inside the fused kernel. This is torch-AMP
+    #   semantics — the reference trains under autocast (trainer_ddp.py scaler
+    #   usage), where matmul outputs are stored half-precision and softmax
+    #   upcasts internally — so it is the CLOSER match to the reference, not a
+    #   deviation. At production shapes the fp32 (B,N,S,S) logits+probs are
+    #   ~50 MB/layer/dir of HBM traffic; bf16 halves the dominant non-matmul
+    #   bytes of the BERT bucket (ledger r4: BERT at 1.99x its MXU floor).
+    #   Opt-in pending the TPU probe (benchmarks/profile_op.py --workload bert).
 
     @classmethod
     def tiny(cls) -> "BertConfig":
@@ -121,9 +131,18 @@ class BertSelfAttention(nn.Module):
         # (B, S, N, D) -> attention over S with additive mask.
         scale = head_dim**-0.5
         logits = jnp.einsum("bqnd,bknd->bnqk", q * scale, k)
-        neg = jnp.finfo(jnp.float32).min
-        logits = jnp.where(mask[:, None, None, :], logits.astype(jnp.float32), neg)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        if cfg.amp_attn_scores and self.dtype != jnp.float32:
+            # torch-AMP semantics: scores stored in the activation dtype, the
+            # softmax math upcast to fp32 inside the fused kernel (the convert
+            # fuses into the reduce chain, so the (B,N,S,S) tensors cross HBM
+            # once at 2 bytes instead of 4).
+            neg = jnp.asarray(jnp.finfo(self.dtype).min, self.dtype)
+            logits = jnp.where(mask[:, None, None, :], logits.astype(self.dtype), neg)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        else:
+            neg = jnp.finfo(jnp.float32).min
+            logits = jnp.where(mask[:, None, None, :], logits.astype(jnp.float32), neg)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         probs = nn.Dropout(cfg.dropout_rate)(probs, deterministic=deterministic)
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v)
         out = nn.DenseGeneral(

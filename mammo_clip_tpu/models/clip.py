@@ -41,6 +41,7 @@ def bert_config_from_model_config(model_config: Dict) -> BertConfig:
         max_position_embeddings=t.get("max_position_embeddings", 512),
         remat=t.get("gradient_checkpointing", False),
         fused_qkv=t.get("fused_qkv", False),
+        amp_attn_scores=t.get("amp_attn_scores", False),
     )
 
 

@@ -603,3 +603,35 @@ def test_flagship_warm_start_importance_space_consistency():
             == jax.tree_util.tree_structure(vf["params"]))
     out = flag.apply(seeded, batch, train=False)
     assert np.all(np.isfinite(np.asarray(out["image_embeddings"])))
+
+
+def test_bert_amp_attn_scores_matches_fp32_path():
+    """text_encoder.amp_attn_scores=True stores attention logits/probs in the
+    activation dtype (torch-AMP semantics; models/bert.py flag docstring) with
+    the softmax math still fp32. Same params, bf16 activations: the two paths
+    must agree to bf16 resolution, and the param tree is unchanged."""
+    import dataclasses
+
+    cfg = BertConfig(
+        vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=48, dropout_rate=0.0,
+    )
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, 120, (3, 16), dtype=np.int32))
+    mask = np.ones((3, 16), np.int32)
+    mask[1, 10:] = 0  # padded keys must stay fully masked through the bf16 path
+    mask = jnp.asarray(mask)
+
+    base = BertEncoder(cfg, dtype=jnp.bfloat16)
+    amp = BertEncoder(dataclasses.replace(cfg, amp_attn_scores=True), dtype=jnp.bfloat16)
+    params = base.init(jax.random.PRNGKey(0), ids, mask, deterministic=True)["params"]
+    pa = amp.init(jax.random.PRNGKey(0), ids, mask, deterministic=True)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(pa)
+
+    out1 = np.asarray(base.apply({"params": params}, ids, mask, deterministic=True),
+                      np.float32)
+    out2 = np.asarray(amp.apply({"params": params}, ids, mask, deterministic=True),
+                      np.float32)
+    # bf16 has ~2-3 decimal digits; layernormed hidden states are O(1)
+    np.testing.assert_allclose(out1, out2, atol=0.15)
+    assert np.mean(np.abs(out1 - out2)) < 0.02
