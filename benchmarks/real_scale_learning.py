@@ -203,6 +203,11 @@ def main(argv=None) -> None:
                     help="resume from --ckpt: restores params/batch_stats/"
                     "opt_state and fast-forwards the deterministic batch-"
                     "composition stream to the saved step")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="replication seed (ADVICE r3: single-run promotion): "
+                    "offsets the data/init/order/step streams together. Only "
+                    "runtime values change, so a second-seed arm reuses the "
+                    "compiled executable from the seed-0 arm")
     args = ap.parse_args(argv)
 
     import jax
@@ -239,6 +244,8 @@ def main(argv=None) -> None:
         path_label += f"-slim4[{args.slim_stage4}]"
     if args.slim_stage7:
         path_label += f"-slim7[{args.slim_stage7}]"
+    if args.seed:
+        path_label += f"-seed[{args.seed}]"
     cfg = default_pretrain_config("b5")
     cfg.model.image_encoder.remat = True
     if not compat:
@@ -277,14 +284,14 @@ def main(argv=None) -> None:
           f"'{args.task}' pairs at {h}x{w}...", file=sys.stderr)
     if args.task == "shapes":
         v1, v2, ids1, ids2, mask, labels, _amps = make_pairs_shapes(
-            args.train_n, h, w, seq, vocab, seed=0)
+            args.train_n, h, w, seq, vocab, seed=0 + 100 * args.seed)
         hv1, _, _, _, _, hlabels, hamps = make_pairs_shapes(
-            args.holdout_n, h, w, seq, vocab, seed=9)
+            args.holdout_n, h, w, seq, vocab, seed=9 + 100 * args.seed)
     else:
         v1, v2, ids1, ids2, mask, labels, (pos_tok, neg_tok) = make_pairs(
-            args.train_n, h, w, seq, vocab, seed=0)
+            args.train_n, h, w, seq, vocab, seed=0 + 100 * args.seed)
         hv1, _, _, _, _, hlabels, _ = make_pairs(
-            args.holdout_n, h, w, seq, vocab, seed=9)
+            args.holdout_n, h, w, seq, vocab, seed=9 + 100 * args.seed)
 
     init_example = {
         "images": jnp.zeros((BATCH, h, w, 1), jnp.float32),
@@ -294,7 +301,8 @@ def main(argv=None) -> None:
         "input_ids2": jnp.ones((BATCH, seq), jnp.int32),
         "attention_mask2": jnp.ones((BATCH, seq), jnp.int32),
     }
-    state = create_train_state(model, init_example, tx, jax.random.PRNGKey(0))
+    state = create_train_state(model, init_example, tx,
+                               jax.random.PRNGKey(args.seed))
 
     if args.warm_from:
         from mammo_clip_tpu.convert.flagship_init import flagship_warm_start
@@ -381,9 +389,9 @@ def main(argv=None) -> None:
         return {"auroc": round(float(np.mean(per_cls)), 4),
                 "auroc_cls": per_cls, "acc": round(acc, 4), "acc_amp": acc_amp}
 
-    order_rng = np.random.default_rng(7)
+    order_rng = np.random.default_rng(7 + 100 * args.seed)
     n, spe = args.train_n, args.train_n // BATCH
-    step_rng = jax.random.PRNGKey(1)
+    step_rng = jax.random.PRNGKey(1 + 1000 * args.seed)
     t0 = time.time()
     loss_val = float("nan")
 
