@@ -48,8 +48,8 @@ def main() -> None:
                          if r["step"] % args.every == 0 or
                          r["step"] == max(x["step"] for x in rows)})
     print("| arm | " + " | ".join(f"@{s}" for s in milestones)
-          + f" | steps to macro>={args.bar} | final acc@20/35 |")
-    print("|---|" + "---|" * (len(milestones) + 2))
+          + f" | last-3 mean | steps to macro>={args.bar} | final acc@20/35 |")
+    print("|---|" + "---|" * (len(milestones) + 3))
     for name, rows in arms.items():
         by_step = {r["step"]: r for r in rows}
         cells = []
@@ -59,10 +59,15 @@ def main() -> None:
                          else f"{r['loss']:.2f} / {r['auroc']:.3f}")
         tta = first_step_at(rows, "auroc", args.bar)
         last = rows[-1]
+        # single-eval endpoints are noisy (128 held-out images): also report
+        # the mean of the last 3 evals so arms aren't ranked on one draw
+        tail = rows[-3:]
+        tail_mean = sum(r["auroc"] for r in tail) / len(tail)
         amp = last.get("acc_amp", {})
         lo = (f"{amp.get('20', float('nan')):.2f}/{amp.get('35', float('nan')):.2f}"
               if amp else "—")
         print(f"| {name} | " + " | ".join(cells)
+              + f" | {tail_mean:.3f}"
               + f" | {tta if tta is not None else '>' + str(last['step'])} | {lo} |")
 
 
