@@ -3,16 +3,25 @@
 Measures images/sec/chip for the FULL fused pretraining step of this framework's
 TPU-native flagship recipe — B5-class dual encoder (space-to-depth front end,
 `image_encoder.tpu_optimized`; stages 3-7 and everything else identical to the
-reference's B5) + BERT-base @ 912x1520 grayscale, two views + two texts per
-sample, on-device flip/affine/elastic augmentation, multi-positive symmetric
-InfoNCE, AdamW — i.e. everything the reference does per step (reference hot
-loop: trainer_ddp.py:266-344; recipe configs/pre_train_b5_clip.yaml, bs 4/GPU
-AMP), with the early stages redesigned for TPU lane density (BASELINE.md
-"round-2 structural results": the measured alternatives and why).
+reference's B5; 0.901x params / 0.895x fwd FLOPs of the reference-exact B5) +
+BERT-base @ 912x1520 grayscale, two views + two texts per sample, on-device
+flip/affine/elastic augmentation, multi-positive symmetric InfoNCE, AdamW —
+i.e. everything the reference does per step (reference hot loop:
+trainer_ddp.py:266-344; recipe configs/pre_train_b5_clip.yaml, bs 4/GPU AMP),
+with the early stages redesigned for TPU lane density (BASELINE.md "round-2
+structural results": the measured alternatives and why), BERT attention scores
+stored with torch-AMP semantics (r4), and 5 optimizer steps fused per dispatch
+(r4; same math — bit-exact at K=1, fp-rounding-level scan-context drift at
+K>1, tests/test_train.py).
+
+The r3 capacity trims (slim stage3/5/6/4, 0.805x/0.754x capacity) are
+``--trimmed`` — an opt-in, NOT the headline: the r4 graded re-gating could not
+fail an even-harder-cut control arm, so synthetic evidence cannot certify the
+trims at B5-class quality (BASELINE.md r4).
 
 ``--compat`` instead measures the reference-EXACT checkpoint-compatible path
-(the library default config; 0.60x the A100 estimate vs 1.21x for the
-TPU-native recipe on this chip).
+(the library default config; 21.7 img/s on this chip — byte-roofline-bound at
+70-80% physical utilization, BASELINE.md r3).
 
 "images" counts mammogram views pushed through the image encoder (2 per
 sample-pair), matching how a DDP imgs/sec counter would see the reference's
@@ -59,6 +68,19 @@ def main(argv=None) -> None:
     ap.add_argument("--compat", action="store_true",
                     help="measure the reference-exact checkpoint-compatible "
                     "path instead of the TPU-native flagship recipe")
+    ap.add_argument("--steps-per-call", type=int, default=None,
+                    help="override the fused multi-step call width (default: "
+                    "5 for the flagship recipe, 1 for --compat)")
+    ap.add_argument("--no-amp-attn", action="store_true",
+                    help="disable the BERT torch-AMP attention-score storage "
+                    "(r4 promotion) for A/B probes")
+    ap.add_argument("--trimmed", action="store_true",
+                    help="measure the capacity-trimmed variant (slim stage3/5/6/4, "
+                    "0.805x params / 0.754x fwd FLOPs of the reference B5). "
+                    "DEMOTED from the default recipe in r4: the graded real-scale "
+                    "gate could not fail an even-harder-cut control arm, so the "
+                    "trims' quality evidence is not falsifiable without real data "
+                    "(BASELINE.md r4 re-gating verdict)")
     args = ap.parse_args(argv)
 
     import jax
@@ -76,6 +98,7 @@ def main(argv=None) -> None:
     from mammo_clip_tpu.train import (
         build_optimizer,
         create_train_state,
+        make_train_multistep,
         make_train_step,
         warmup_cosine_sq_schedule,
     )
@@ -91,16 +114,31 @@ def main(argv=None) -> None:
         # remat is a net loss — run without it (12.8 GB temp at bs8).
         cfg.model.image_encoder.tpu_optimized = True
         cfg.model.image_encoder.remat = False
-        # r3 capacity trims on the biggest HBM streams (stage3 E384->256,
-        # stage5-group E1024->768, then stage6 E1792->1536 + stage4
-        # E768->512): each promotion measured here and quality-gated by a
-        # full real-scale learning arm at production scale (BASELINE.md r3
-        # "real-scale learning" + "stage6+stage4 arm": every trimmed recipe
-        # ends at the same loss and zero-shot bar as the untrimmed flagship)
-        cfg.model.image_encoder.tpu_slim_stage3 = 256
-        cfg.model.image_encoder.tpu_slim_stage5 = 768
-        cfg.model.image_encoder.tpu_slim_stage6 = 1536
-        cfg.model.image_encoder.tpu_slim_stage4 = 512
+        if args.trimmed:
+            # Capacity trims on the biggest HBM streams (stage3 E384->256,
+            # stage5-group E1024->768, stage6 E1792->1536, stage4 E768->512).
+            # Promoted in r3 under a saturated gate; DEMOTED to this opt-in in
+            # r4 after the graded re-gating: the deliberately over-cut control
+            # (slim3=128/slim5=384, 0.68x FLOPs) PASSED the hardest synthetic
+            # gate we could build, so no synthetic instrument can certify the
+            # trims preserve B5-class quality — that needs real data
+            # (BASELINE.md r4 "re-gating verdict"; ROADMAP quality-parity #1).
+            cfg.model.image_encoder.tpu_slim_stage3 = 256
+            cfg.model.image_encoder.tpu_slim_stage5 = 768
+            cfg.model.image_encoder.tpu_slim_stage6 = 1536
+            cfg.model.image_encoder.tpu_slim_stage4 = 512
+        if not args.no_amp_attn:
+            # r4: BERT attention logits/probs stored in bf16 with fp32 softmax
+            # math (torch-AMP semantics, models/bert.py) — -6 ms/step measured,
+            # numerics equivalence-tested vs the fp32 path (tests/test_convert)
+            cfg.model.text_encoder.amp_attn_scores = True
+    # r4: fuse K optimizer steps into one jit call (train/step.py
+    # make_train_multistep; trainer knob train.steps_per_call). The relay adds
+    # ~12 ms of dispatch latency PER CALL that grouped async dispatch does not
+    # hide (BASELINE.md r4 ledger: 222 ms device vs 234 ms wall); K=5
+    # amortizes it to ~2.4 ms with the same math (bit-exact at K=1)
+    # (tests/test_train.py::test_multistep_matches_sequential_steps).
+    k_steps = args.steps_per_call if args.steps_per_call else (1 if args.compat else 5)
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
 
@@ -143,7 +181,14 @@ def main(argv=None) -> None:
     init_example["images"] = jnp.zeros((BATCH, h, w, 1), jnp.float32)
     init_example["image_views"] = jnp.zeros((BATCH, h, w, 1), jnp.float32)
     state = create_train_state(model, init_example, tx, jax.random.PRNGKey(0))
-    train_step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
+    if k_steps > 1:
+        # the trainer's fused K-step path: one dispatch, one (K,B,...) batch.
+        # The same host batch is stacked K times — byte-identical input volume
+        # per step to the K=1 path (the trainer stacks K DISTINCT batches).
+        train_step = make_train_multistep(model, loss_fn, preprocess=preprocess, donate=True)
+        batch = {k: jnp.stack([v] * k_steps) for k, v in batch.items()}
+    else:
+        train_step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
 
     step_rng = jax.random.PRNGKey(1)
     for _ in range(WARMUP_STEPS):
@@ -164,15 +209,17 @@ def main(argv=None) -> None:
         for _ in range(GROUP):
             state, loss_dict = train_step(state, batch, step_rng)
         _ = float(loss_dict["total"])  # forces completion of the whole group
-        times.append((time.perf_counter() - t0) / GROUP)
+        times.append((time.perf_counter() - t0) / (GROUP * k_steps))
     median = sorted(times)[len(times) // 2]
-    print(f"per-step ms (groups of {GROUP}): {[round(t * 1e3, 1) for t in times]}", file=sys.stderr)
+    print(f"per-step ms (groups of {GROUP}x{k_steps} steps): "
+          f"{[round(t * 1e3, 1) for t in times]}", file=sys.stderr)
 
     images_per_sec = 2 * BATCH / median
     result = {
         "metric": ("pretrain_images_per_sec_per_chip_b5_912x1520_reference_exact"
                    if args.compat else
-                   "pretrain_images_per_sec_per_chip_b5class_912x1520_tpu_native"),
+                   "pretrain_images_per_sec_per_chip_b5class_912x1520_tpu_native"
+                   + ("_trimmed_0p75xflop" if args.trimmed else "")),
         "value": round(images_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / A100_IMGS_PER_SEC_ESTIMATE, 3),

@@ -68,11 +68,15 @@ def main() -> None:
                     tpu_slim_stage7=2048)
     negctl = analyze("negative control (slim3=128,5=384)", tpu_optimized=True,
                      tpu_slim_stage3=128, tpu_slim_stage5=384)
+    extreme = analyze("extreme control (128/256/512/256)", tpu_optimized=True,
+                      tpu_slim_stage3=128, tpu_slim_stage5=256,
+                      tpu_slim_stage6=512, tpu_slim_stage4=256)
     for name, row in (("r2 / compat", r2), ("r3-e2 / compat", r3w),
                       ("r3 / compat", flag), ("slim3+5 / compat", slim35),
                       ("promoted / compat", promoted),
                       ("promoted+slim7 / compat", slim7),
-                      ("neg-control / compat", negctl)):
+                      ("neg-control / compat", negctl),
+                      ("extreme-control / compat", extreme)):
         print(f"{name:32s} params {row[0]/base[0]:8.3f}     "
               f"fwd {row[1]/base[1]:8.3f}")
 

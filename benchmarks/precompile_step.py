@@ -35,8 +35,14 @@ def main(argv=None) -> None:
     ap.add_argument("--compat", action="store_true")
     ap.add_argument("--amp-attn-scores", action="store_true",
                     help="BERT torch-AMP attention-score storage (bf16 logits/probs)")
+    ap.add_argument("--steps-per-call", type=int, default=1,
+                    help="fused multi-step call width (bench.py flagship default is 5)")
+    ap.add_argument("--trimmed", action="store_true",
+                    help="apply the four opt-in capacity trims (slim3/5/6/4 — "
+                    "demoted from the default recipe in r4: the graded gate "
+                    "could not fail the over-cut control, BASELINE.md r4)")
     ap.add_argument("--slim-stage7", type=int, default=0,
-                    help="also apply tpu_slim_stage7=<N> on top of the promoted trims")
+                    help="also apply tpu_slim_stage7=<N> on top of the trims")
     args = ap.parse_args(argv)
 
     import jax
@@ -64,10 +70,11 @@ def main(argv=None) -> None:
     if not args.compat:
         cfg.model.image_encoder.tpu_optimized = True
         cfg.model.image_encoder.remat = False
-        cfg.model.image_encoder.tpu_slim_stage3 = 256
-        cfg.model.image_encoder.tpu_slim_stage5 = 768
-        cfg.model.image_encoder.tpu_slim_stage6 = 1536
-        cfg.model.image_encoder.tpu_slim_stage4 = 512
+        if args.trimmed:
+            cfg.model.image_encoder.tpu_slim_stage3 = 256
+            cfg.model.image_encoder.tpu_slim_stage5 = 768
+            cfg.model.image_encoder.tpu_slim_stage6 = 1536
+            cfg.model.image_encoder.tpu_slim_stage4 = 512
         if args.slim_stage7:
             cfg.model.image_encoder.tpu_slim_stage7 = args.slim_stage7
     if args.amp_attn_scores:
@@ -115,7 +122,14 @@ def main(argv=None) -> None:
         rng_sds, init_example_sds,
     )
 
-    train_step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
+    if args.steps_per_call > 1:
+        from mammo_clip_tpu.train import make_train_multistep
+
+        train_step = make_train_multistep(model, loss_fn, preprocess=preprocess, donate=True)
+        batch_sds = {k: sds((args.steps_per_call,) + v.shape, v.dtype)
+                     for k, v in batch_sds.items()}
+    else:
+        train_step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
     t0 = time.perf_counter()
     lowered = train_step.lower(state_sds, batch_sds, rng_sds)
     t1 = time.perf_counter()
@@ -126,6 +140,7 @@ def main(argv=None) -> None:
     print(f"compiled in {t2 - t1:.1f}s; cache warmed for "
           f"{'compat' if args.compat else 'flagship'}"
           f"{'+amp_attn_scores' if args.amp_attn_scores else ''}"
+          f"{f'+K={args.steps_per_call}' if args.steps_per_call > 1 else ''}"
           f"{f'+slim7={args.slim_stage7}' if args.slim_stage7 else ''}")
     if mem is not None:
         try:

@@ -8,12 +8,13 @@ multi-positive loss, AdamW + the bench schedule) — and shows each path learns 
 transferable feature (zero-shot AUROC on held-out images) at real scale:
 
 * ``--path compat``          reference-exact checkpoint-compatible path
-* ``--path flagship``        the tpu_optimized flagship recipe; NOTE: the
-                             promoted bench recipe additionally carries
-                             --slim-stage3 256 --slim-stage5 768
-                             --slim-stage6 1536 --slim-stage4 512 (all four
-                             trims promoted in r3), so pass all four to
-                             reproduce what bench.py measures
+* ``--path flagship``        the tpu_optimized flagship recipe — since the r4
+                             demotion this IS what bench.py measures by
+                             default; pass --slim-stage3 256 --slim-stage5 768
+                             --slim-stage6 1536 --slim-stage4 512 to reproduce
+                             the opt-in ``bench.py --trimmed`` variant (trims
+                             demoted when the graded gate failed to fail the
+                             over-cut control — BASELINE.md r4)
 * ``--path flagship-warm``   flagship importance-warm-started from the compat
                              arm's trained weights (convert/flagship_init) —
                              quality evidence for the warm-start feature: the

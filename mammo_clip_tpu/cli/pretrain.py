@@ -14,7 +14,7 @@ import argparse
 from ..core.config import default_pretrain_config, load_config, save_config
 from ..core.mesh import MeshContext, is_master
 from ..data.datamodule import DataModule
-from ..data.pipeline import prefetch_to_device
+from ..data.pipeline import group_batches, prefetch_to_device, stack_batches
 from ..train.trainer import Trainer
 from ..utils.cache import enable_compile_cache
 
@@ -48,9 +48,17 @@ def main(argv=None) -> None:
     if is_master():
         save_config(cfg, f"{args.workdir}/config.yaml") if _ensure_dir(args.workdir) else None
 
+    # train.steps_per_call=K fuses K optimizer steps into one jit call
+    # (train/step.make_train_multistep): host stacks K batches -> one transfer
+    # -> one dispatch; amortizes the remote-relay call latency (BASELINE.md r4)
+    k_steps = int(cfg.train.get("steps_per_call", 1))
+
     def train_batches(epoch):
         train_b.set_epoch(epoch)
-        return prefetch_to_device(iter(train_b), ctx)
+        it = iter(train_b)
+        if k_steps > 1:
+            it = (stack_batches(g) for g in group_batches(it, k_steps))
+        return prefetch_to_device(it, ctx, stacked=k_steps > 1)
 
     valid_batches = None
     if valid_b is not None:

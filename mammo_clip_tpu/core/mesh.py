@@ -120,6 +120,14 @@ class MeshContext:
         return self.sharding(axes)
 
     @property
+    def stacked_batch_sharding(self) -> NamedSharding:
+        """Sharding for (K, B, ...) super-batches of the fused K-step train call
+        (train/step.make_train_multistep): steps axis replicated, batch axis
+        sharded exactly like batch_sharding."""
+        axes = tuple(a for a in self.mesh.axis_names if a != "model")
+        return self.sharding(None, axes)
+
+    @property
     def replicated(self) -> NamedSharding:
         return self.sharding()
 
@@ -131,19 +139,21 @@ class MeshContext:
         model_parallelism whenever model > 1."""
         return per_device * (self.num_devices // self.model_parallelism)
 
-    def shard_host_batch(self, batch):
+    def shard_host_batch(self, batch, stacked: bool = False):
         """Place a host-resident pytree of numpy arrays onto the mesh, batch-sharded.
 
         Single-process: a plain sharded device_put. Multi-host SPMD: each process
         passes only ITS slice of the global batch (the Batcher enumerates
         process_index-strided indices) and jax assembles the global array from the
         per-process shards — the multi-controller equivalent of DistributedSampler
-        + NCCL scatter in the reference's DDP path (trainer_ddp.py)."""
+        + NCCL scatter in the reference's DDP path (trainer_ddp.py).
+
+        stacked=True: the batch carries a leading (K,) steps axis (fused K-step
+        call) — shard axis 1 instead of axis 0."""
+        sh = self.stacked_batch_sharding if stacked else self.batch_sharding
         if jax.process_count() > 1:
             return jax.tree_util.tree_map(
-                lambda x: jax.make_array_from_process_local_data(self.batch_sharding, x),
+                lambda x: jax.make_array_from_process_local_data(sh, x),
                 batch,
             )
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, self.batch_sharding), batch
-        )
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

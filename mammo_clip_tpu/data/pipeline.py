@@ -111,11 +111,38 @@ class Batcher:
             yield self._collate(items)
 
 
-def prefetch_to_device(batches, mesh_ctx=None, depth: int = 2):
+def stack_batches(batches) -> Dict[str, np.ndarray]:
+    """Stack K same-shape host batches along a new leading steps axis.
+
+    Produces the input of :func:`mammo_clip_tpu.train.step.make_train_multistep`
+    (the fused K-step train call): every leaf goes from ``(B, ...)`` to
+    ``(K, B, ...)``. Host-side ``np.stack`` so the device sees ONE transfer per
+    K steps instead of K.
+    """
+    keys = batches[0].keys()
+    assert all(b.keys() == keys for b in batches), "batches must share keys"
+    return {k: np.stack([np.asarray(b[k]) for b in batches]) for k in keys}
+
+
+def group_batches(batches, k: int):
+    """Yield lists of ``k`` consecutive batches, dropping the final partial
+    group (keeps the fused multi-step call shape-static; the trainer accounts
+    for the dropped tail in its schedule horizon)."""
+    buf = []
+    for b in batches:
+        buf.append(b)
+        if len(buf) == k:
+            yield buf
+            buf = []
+
+
+def prefetch_to_device(batches, mesh_ctx=None, depth: int = 2, stacked: bool = False):
     """Wrap a host batch iterator with a background thread + HBM double buffering.
 
     Yields device-resident (sharded when mesh_ctx given) batches. ``depth`` bounds how
     many batches are in flight, overlapping host IO/tokenization with device compute.
+    stacked=True: batches carry a leading (K,) steps axis (stack_batches) — the
+    mesh shards axis 1 (batch) and replicates the steps axis.
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
@@ -123,7 +150,7 @@ def prefetch_to_device(batches, mesh_ctx=None, depth: int = 2):
 
     def put(batch):
         if mesh_ctx is not None:
-            return mesh_ctx.shard_host_batch(batch)
+            return mesh_ctx.shard_host_batch(batch, stacked=stacked)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     def worker():

@@ -31,7 +31,7 @@ from .checkpoint import restore_checkpoint, save_checkpoint
 from .optim import build_optimizer
 from .schedule import schedule_horizon, warmup_cosine_sq_schedule
 from .state import create_train_state
-from .step import make_eval_step, make_train_step
+from .step import make_eval_step, make_train_multistep, make_train_step
 
 
 def make_clip_preprocess(cfg: Config) -> Callable:
@@ -131,9 +131,23 @@ class Trainer:
     ):
         cfg = self.cfg
         epochs = cfg.scheduler.epochs
+        # train.steps_per_call=K fuses K optimizer steps into ONE jit call
+        # (make_train_multistep): on remote-dispatch TPU runtimes each call
+        # costs ~10+ ms of relay round-trip that async dispatch does not hide
+        # (BASELINE.md r4); K amortizes it to ~1/K with the same math
+        # (bit-exact at K=1; tests/test_train.py has the equality evidence).
+        # Contract: train_batches then yields STACKED (K, B, ...) super-batches
+        # (data.pipeline.stack_batches / group_batches — see cli/pretrain.py).
+        K = int(cfg.train.get("steps_per_call", 1))
         first = next(iter(train_batches(0)))
+        if K > 1:  # init example is a single step's batch
+            first = jax.tree_util.tree_map(lambda x: x[0], first)
         example = self.preprocess({k: v for k, v in first.items()}, None)
         assert steps_per_epoch, "steps_per_epoch required (len(batcher))"
+        # the final partial group of each epoch is dropped (shape-static fused
+        # call); the schedule horizon and resume math count the steps actually
+        # taken
+        steps_per_epoch = steps_per_epoch - steps_per_epoch % K
         # Warm-started runs want a gentler peak LR: trained at the scratch
         # recipe's full peak, the seeded real-scale arm drifted upward past
         # convergence (BASELINE.md r3 "real-scale learning", observation 1) —
@@ -187,7 +201,10 @@ class Trainer:
             except (AssertionError, FileNotFoundError):
                 pass
 
-        self._train_step = make_train_step(self.model, self.loss_fn, preprocess=self.preprocess)
+        if K > 1:
+            self._train_step = make_train_multistep(self.model, self.loss_fn, preprocess=self.preprocess)
+        else:
+            self._train_step = make_train_step(self.model, self.loss_fn, preprocess=self.preprocess)
         self._eval_step = make_eval_step(self.model, self.loss_fn, preprocess=self.preprocess)
 
         loss_best_key = cfg.train.get("loss_best", "total")
@@ -222,18 +239,22 @@ class Trainer:
             n_imgs = 0
             last_t = time.time()
             for i, batch in enumerate(train_batches(epoch)):
-                if epoch == start_epoch and i < skip_batches:
+                if epoch == start_epoch and i * K < skip_batches:
                     continue  # mid-epoch resume: batch already trained pre-preemption
-                if prof_at >= 0 and int(state.step) == prof_at and is_master():
+                    # (state.step only ever advances in multiples of K, so the
+                    # skipped step count is always group-aligned)
+                step_now = int(state.step)
+                if prof_at >= 0 and step_now <= prof_at < step_now + K and is_master():
                     jax.profiler.start_trace(f"{self.workdir}/profile")
-                    prof_left = prof_len
+                    prof_left = -(-prof_len // K)  # whole fused calls
                 state, loss_dict = self._train_step(state, batch, rng)
                 if prof_left > 0:
                     prof_left -= 1
                     if prof_left == 0:
                         float(loss_dict["total"])  # force completion inside the trace
                         jax.profiler.stop_trace()
-                n_imgs += int(batch["images"].shape[0])
+                n_imgs += int(np.prod(batch["images"].shape[:2]) if K > 1
+                              else batch["images"].shape[0])
                 if preempted["flag"]:
                     if prof_left > 0:  # don't leak an open trace on preemption
                         jax.profiler.stop_trace()
@@ -247,7 +268,8 @@ class Trainer:
                         print(f"SIGTERM: checkpoint flushed at step {int(state.step)}")
                     self.logger.close()
                     return state
-                if (i + 1) % log_every == 0:
+                # every log_every STEPS (a fused call advances K at once)
+                if ((i + 1) * K) // log_every > (i * K) // log_every:
                     now = time.time()
                     scalars = {f"loss/{k}": float(v) for k, v in loss_dict.items()}
                     scalars["perf/images_per_sec"] = n_imgs / (now - last_t)

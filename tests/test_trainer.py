@@ -286,3 +286,46 @@ def test_mid_epoch_resume_skips_trained_batches(tmp_path):
         train_batches, None, steps_per_epoch=spe, resume=True)
     # without the skip, the resumed run would retrain batch 0 and finish at 3
     assert int(final.step) == spe
+
+
+@pytest.mark.slow
+def test_trainer_steps_per_call_matches_single(tmp_path):
+    """train.steps_per_call=2 (fused multi-step call, r4) must reproduce the
+    steps_per_call=1 run: same final step counter and numerically matching
+    params given identical batch order and seeds. Tolerances are
+    rounding-realistic, not bit-exact: the scan-body compile context differs
+    from the straight-line step at fp-reassociation level (the K=1 fused call
+    IS bit-exact — tests/test_train.py::test_multistep_matches_sequential_steps)."""
+    import jax
+
+    from mammo_clip_tpu.data.pipeline import group_batches, stack_batches
+
+    def run(workdir, k):
+        cfg = tiny_test_config()
+        cfg.scheduler.update(epochs=1, warmup_epochs=0)
+        cfg.train.update(log_every=2, steps_per_call=k)
+        h, w = cfg.data.image_size_h, cfg.data.image_size_w
+        store = SyntheticImageStore((h, w))
+        tok = HashTokenizer(vocab_size=cfg.model.text_encoder.vocab_size)
+        train_ds = ImageTextDataset(_synthetic_df(32), store, split="train")
+        train_b = Batcher(train_ds, tok, batch_size=8,
+                          max_length=cfg.data.text_max_length,
+                          process_index=0, process_count=1)
+        ctx = MeshContext.create(data=8, model=1)
+
+        def train_batches(epoch):
+            train_b.set_epoch(epoch)
+            it = iter(train_b)
+            if k > 1:
+                it = (stack_batches(g) for g in group_batches(it, k))
+            return prefetch_to_device(it, ctx, stacked=k > 1)
+
+        trainer = Trainer(cfg, mesh_ctx=ctx, workdir=workdir)
+        return trainer.fit(train_batches, None, steps_per_epoch=len(train_b)), jax
+
+    s1, _ = run(str(tmp_path / "k1"), 1)
+    s2, jax = run(str(tmp_path / "k2"), 2)
+    assert int(s1.step) == int(s2.step) == 4  # 32 rows / bs8
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-2)
