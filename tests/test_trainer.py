@@ -329,3 +329,123 @@ def test_trainer_steps_per_call_matches_single(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-2)
+
+
+@pytest.mark.slow
+def test_mid_epoch_resume_with_steps_per_call(tmp_path):
+    """Preemption + exact mid-epoch resume under the fused multi-step call
+    (r4): state.step only advances in multiples of K, so a preempted
+    checkpoint is always group-aligned and the resumed run must skip exactly
+    the trained groups and finish the epoch at the effective horizon."""
+    import jax
+
+    from mammo_clip_tpu.data.pipeline import group_batches, stack_batches
+    from mammo_clip_tpu.train.checkpoint import save_checkpoint
+    from mammo_clip_tpu.train.step import make_train_multistep
+
+    cfg = tiny_test_config()
+    cfg.scheduler.update(epochs=1, warmup_epochs=0)
+    cfg.train.update(log_every=100, steps_per_call=2)
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+    store = SyntheticImageStore((h, w))
+    tok = HashTokenizer(vocab_size=cfg.model.text_encoder.vocab_size)
+    train_b = Batcher(ImageTextDataset(_synthetic_df(48), store, split="train"), tok,
+                      batch_size=8, max_length=cfg.data.text_max_length,
+                      process_index=0, process_count=1)
+    ctx = MeshContext.create(data=8, model=1)
+    spe = len(train_b)
+    assert spe == 6  # -> 3 fused groups of K=2
+
+    def train_batches(epoch):
+        train_b.set_epoch(epoch)
+        it = (stack_batches(g) for g in group_batches(iter(train_b), 2))
+        return prefetch_to_device(it, ctx, stacked=True)
+
+    workdir = str(tmp_path / "run")
+    trainer = Trainer(cfg, mesh_ctx=ctx, workdir=workdir)
+
+    # one REAL fused call (2 steps), then a preempted-marker checkpoint
+    first = next(iter(train_batches(0)))
+    example = trainer.preprocess(
+        {k: v[0] for k, v in first.items()}, None)
+    state, _ = trainer._build_state(example, spe)
+    multi_fn = make_train_multistep(trainer.model, trainer.loss_fn,
+                                    preprocess=trainer.preprocess, donate=False)
+    state, _ = multi_fn(state, first, jax.random.PRNGKey(cfg.seed + 1))
+    assert int(state.step) == 2
+    save_checkpoint(f"{workdir}/checkpoints", state, config=cfg.to_dict(),
+                    extra_meta={"epoch": 0, "preempted": True})
+
+    final = Trainer(cfg, mesh_ctx=ctx, workdir=workdir).fit(
+        train_batches, None, steps_per_epoch=spe, resume=True)
+    # the resumed run must skip the trained group and stop at 6, not 8
+    assert int(final.step) == spe
+
+
+@pytest.mark.slow
+def test_steps_per_call_composes_with_grad_accum():
+    """optax.MultiSteps (grad accumulation) inside the fused scan: with
+    accum=2 and K=4, one fused call performs exactly TWO real optimizer
+    updates (mini_step wraps twice; gradient_step == 2) and matches four
+    sequential single-step calls. Param tolerance is chaos-realistic, not
+    tight: Adam's early update is ~lr*sign(g-hat) — discontinuous at g=0 —
+    so ulp-level scan-context differences in the accumulated gradient flip
+    near-zero elements by +-lr (measured; same mechanism as
+    test_multistep_matches_sequential_steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mammo_clip_tpu.losses import build_loss
+    from mammo_clip_tpu.models import build_model
+    from mammo_clip_tpu.train import (build_optimizer, create_train_state,
+                                      make_train_multistep, make_train_step)
+
+    cfg = tiny_test_config()
+    cfg.optimizer.grad_accum_steps = 2
+    model = build_model(cfg.model.to_dict())
+    loss_fn = build_loss(cfg.loss.to_dict())
+    # constant LR: the single real update lands at schedule count 0, where a
+    # warmup schedule would emit LR=0 and mask the movement this test asserts
+    tx = build_optimizer(cfg.optimizer.to_dict(), lambda s: 1e-3)
+    rng = np.random.default_rng(0)
+    h, w, s = cfg.data.image_size_h, cfg.data.image_size_w, cfg.data.text_max_length
+    v = cfg.model.text_encoder.vocab_size
+    ids = rng.integers(1, v, size=(4, s), dtype=np.int32)
+    base = {
+        "images": rng.standard_normal((4, h, w, 1)).astype(np.float32),
+        "input_ids": ids, "attention_mask": np.ones((4, s), np.int32),
+        "image_views": rng.standard_normal((4, h, w, 1)).astype(np.float32),
+        "input_ids2": ids, "attention_mask2": np.ones((4, s), np.int32),
+    }
+    b1 = {k: jnp.asarray(x) for k, x in base.items()}
+    bs = [b1]
+    for _ in range(3):
+        b = dict(b1)
+        b["images"] = jnp.asarray(rng.standard_normal(base["images"].shape).astype(np.float32))
+        bs.append(b)
+    state = create_train_state(model, b1, tx, jax.random.PRNGKey(0))
+    outer = jax.random.PRNGKey(5)
+
+    step_fn = make_train_step(model, loss_fn, donate=False)
+    s_seq = state
+    for b in bs:
+        s_seq, _ = step_fn(s_seq, b, outer)
+
+    multi_fn = make_train_multistep(model, loss_fn, donate=False)
+    stacked = {k: jnp.stack([b[k] for b in bs]) for k in b1}
+    s_multi, _ = multi_fn(state, stacked, outer)
+
+    assert int(s_multi.step) == int(s_seq.step) == 4
+    # MultiSteps accounting threaded correctly through the scan carry:
+    # 4 micro-steps at accum=2 -> mini_step wrapped to 0, TWO real updates
+    assert int(s_multi.opt_state.mini_step) == 0
+    assert int(s_multi.opt_state.gradient_step) == 2
+    assert int(s_seq.opt_state.gradient_step) == 2
+    # params must have moved from init AND track the sequential result
+    moved = any(float(jnp.max(jnp.abs(a - b))) > 0
+                for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                                jax.tree_util.tree_leaves(s_multi.params)))
+    assert moved
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                    jax.tree_util.tree_leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2, rtol=5e-2)
