@@ -53,6 +53,10 @@ def main() -> None:
     cfg = default_pretrain_config("b5")
     if not args.compat:
         cfg.model.image_encoder.tpu_optimized = True
+        # r4: torch-AMP attention-score storage — -20% on the text tower when
+        # it runs ALONE (exactly this workload; BASELINE.md r4 amp probe),
+        # equivalence-tested vs the fp32 path. Part of the flagship recipe.
+        cfg.model.text_encoder.amp_attn_scores = True
     if args.int8:
         cfg.model.image_encoder.quant_int8_k5 = True
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
