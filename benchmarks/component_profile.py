@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import collections
 import glob
+import heapq
 import json
 import os
 import re
@@ -114,7 +115,14 @@ def main() -> None:
         bw = float(col(r, "measured memory bw") or 0.0)
         bw_weighted[b] += bw * us
         hlo = str(col(r, "hlo op name", "op name") or "")
-        examples[b].append((us, name[:160], hlo[:80]))
+        # keep only the rows that can make the printed top-N (op tables run
+        # to 10^5 rows; a bounded heap avoids holding/sorting them all)
+        heap = examples[b]
+        item = (us, name[:160], hlo[:80])
+        if len(heap) < args.top_other:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
 
     per_iter = {k: round(v / 1e3 / args.iters, 1) for k, v in buckets.items()}
     print(json.dumps({"total_ms_per_iter": round(total / 1e3 / args.iters, 1),
@@ -128,7 +136,7 @@ def main() -> None:
         if bucket not in buckets:
             continue
         print(f"\n-- biggest '{bucket}' rows --")
-        for us, name, hlo in sorted(examples[bucket], reverse=True)[:args.top_other]:
+        for us, name, hlo in sorted(examples[bucket], reverse=True):
             print(f"{us / 1e3 / args.iters:8.2f} ms  {hlo:40s}  {name}")
 
 

@@ -11,8 +11,8 @@ jits the same step, the cache key (unoptimized HLO + compile options)
 matches and startup drops to ~2-4 min.
 
 Usage (overlap with an arm run):
-    python benchmarks/precompile_step.py --amp-attn-scores   # candidate recipe
-    python benchmarks/precompile_step.py --compat            # reference path
+    python benchmarks/precompile_step.py             # bench.py flagship (amp + K=5)
+    python benchmarks/precompile_step.py --compat    # reference path (fp32, K=1)
 
 The construction below mirrors bench.py line-for-line (same config mutations,
 same preprocess closure, same donate flag) — if bench.py's recipe changes,
@@ -33,10 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--compat", action="store_true")
-    ap.add_argument("--amp-attn-scores", action="store_true",
-                    help="BERT torch-AMP attention-score storage (bf16 logits/probs)")
-    ap.add_argument("--steps-per-call", type=int, default=1,
-                    help="fused multi-step call width (bench.py flagship default is 5)")
+    ap.add_argument("--no-amp-attn", action="store_true",
+                    help="disable the BERT torch-AMP attention-score storage "
+                    "(on by default for the flagship, matching bench.py)")
+    ap.add_argument("--steps-per-call", type=int, default=None,
+                    help="fused multi-step call width (default: bench.py's — "
+                    "5 for the flagship, 1 for --compat)")
     ap.add_argument("--trimmed", action="store_true",
                     help="apply the four opt-in capacity trims (slim3/5/6/4 — "
                     "demoted from the default recipe in r4: the graded gate "
@@ -44,6 +46,10 @@ def main(argv=None) -> None:
     ap.add_argument("--slim-stage7", type=int, default=0,
                     help="also apply tpu_slim_stage7=<N> on top of the trims")
     args = ap.parse_args(argv)
+    # bench.py's defaults for the variant (keep the two in lockstep — the
+    # whole point is a cache entry whose HLO matches what bench.py jits)
+    amp_attn = not args.compat and not args.no_amp_attn
+    k_steps = args.steps_per_call if args.steps_per_call else (1 if args.compat else 5)
 
     import jax
     import jax.numpy as jnp
@@ -77,7 +83,7 @@ def main(argv=None) -> None:
             cfg.model.image_encoder.tpu_slim_stage4 = 512
         if args.slim_stage7:
             cfg.model.image_encoder.tpu_slim_stage7 = args.slim_stage7
-    if args.amp_attn_scores:
+    if amp_attn:
         cfg.model.text_encoder.amp_attn_scores = True
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
@@ -122,11 +128,11 @@ def main(argv=None) -> None:
         rng_sds, init_example_sds,
     )
 
-    if args.steps_per_call > 1:
+    if k_steps > 1:
         from mammo_clip_tpu.train import make_train_multistep
 
         train_step = make_train_multistep(model, loss_fn, preprocess=preprocess, donate=True)
-        batch_sds = {k: sds((args.steps_per_call,) + v.shape, v.dtype)
+        batch_sds = {k: sds((k_steps,) + v.shape, v.dtype)
                      for k, v in batch_sds.items()}
     else:
         train_step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
@@ -139,8 +145,8 @@ def main(argv=None) -> None:
     mem = getattr(compiled, "memory_analysis", lambda: None)()
     print(f"compiled in {t2 - t1:.1f}s; cache warmed for "
           f"{'compat' if args.compat else 'flagship'}"
-          f"{'+amp_attn_scores' if args.amp_attn_scores else ''}"
-          f"{f'+K={args.steps_per_call}' if args.steps_per_call > 1 else ''}"
+          f"{'+amp_attn_scores' if amp_attn else ''}"
+          f"{f'+K={k_steps}' if k_steps > 1 else ''}"
           f"{f'+slim7={args.slim_stage7}' if args.slim_stage7 else ''}")
     if mem is not None:
         try:

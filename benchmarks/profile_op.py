@@ -129,7 +129,8 @@ def main() -> None:
         g = jax.jit(jax.value_and_grad(loss))
         return lambda: g(x, variables["params"], w_out)[0]
 
-    def step_workload(fused: bool, batch: int = 8, tpu_opt: bool = False):
+    def step_workload(fused: bool, batch: int = 8, tpu_opt: bool = False,
+                      trimmed: bool = False):
         """The full B5 pretraining step exactly as bench.py runs it."""
         jax.config.update("jax_default_prng_impl", "unsafe_rbg")
         from mammo_clip_tpu.core.config import default_pretrain_config
@@ -146,8 +147,14 @@ def main() -> None:
         cfg.model.image_encoder.fused_mbconv = fused
         cfg.model.image_encoder.tpu_optimized = tpu_opt
         if tpu_opt:
-            # the promoted recipe's capacity trims (keep HLO == bench.py;
-            # all FOUR r3 promotions)
+            # match bench.py's flagship recipe (r4: amp scores on, trims
+            # demoted to --trimmed). Profiling stays at K=1 — the fused K=5
+            # call scans the SAME body, and per-op attribution wants one
+            # unrolled instance; dispatch amortization is invisible to the
+            # device trace anyway.
+            cfg.model.text_encoder.amp_attn_scores = True
+        if trimmed:
+            # the r3-promoted / r4-demoted capacity trims (bench.py --trimmed)
             cfg.model.image_encoder.tpu_slim_stage3 = 256
             cfg.model.image_encoder.tpu_slim_stage5 = 768
             cfg.model.image_encoder.tpu_slim_stage6 = 1536
@@ -228,6 +235,8 @@ def main() -> None:
         fn = step_workload(fused=True)
     elif args.workload == "step_tpu_native":
         fn = step_workload(fused=False, tpu_opt=True)
+    elif args.workload == "step_tpu_trimmed":
+        fn = step_workload(fused=False, tpu_opt=True, trimmed=True)
     elif args.workload == "bert":
         fn = bert_workload(amp_scores=False)
     elif args.workload == "bert_amp":

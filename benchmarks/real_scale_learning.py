@@ -386,7 +386,10 @@ def main(argv=None) -> None:
         acc_amp = {}
         for a in SHAPE_AMPS:
             sel = (hamps == a) & (hlabels > 0)
-            acc_amp[str(a)] = round(float((pred[sel] == hlabels[sel]).mean()), 4)
+            # empty bucket (tiny --holdout-n) -> null, not NaN: json.dumps
+            # would emit literal NaN, which strict JSON parsers reject
+            acc_amp[str(a)] = (round(float((pred[sel] == hlabels[sel]).mean()), 4)
+                               if sel.any() else None)
         return {"auroc": round(float(np.mean(per_cls)), 4),
                 "auroc_cls": per_cls, "acc": round(acc, 4), "acc_amp": acc_amp}
 

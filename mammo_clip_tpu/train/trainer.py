@@ -139,15 +139,22 @@ class Trainer:
         # Contract: train_batches then yields STACKED (K, B, ...) super-batches
         # (data.pipeline.stack_batches / group_batches — see cli/pretrain.py).
         K = int(cfg.train.get("steps_per_call", 1))
+        assert steps_per_epoch, "steps_per_epoch required (len(batcher))"
+        # the final partial group of each epoch is dropped (shape-static fused
+        # call); the schedule horizon and resume math count the steps actually
+        # taken. Guard BEFORE consuming the iterator: with < K batches,
+        # group_batches yields nothing and next() below would die with a bare
+        # StopIteration far from the cause.
+        steps_per_epoch = steps_per_epoch - steps_per_epoch % K
+        if steps_per_epoch == 0:
+            raise ValueError(
+                f"epoch has fewer batches than train.steps_per_call={K} — the "
+                "fused call drops the final partial group, leaving zero steps; "
+                "lower steps_per_call or raise the per-epoch batch count")
         first = next(iter(train_batches(0)))
         if K > 1:  # init example is a single step's batch
             first = jax.tree_util.tree_map(lambda x: x[0], first)
         example = self.preprocess({k: v for k, v in first.items()}, None)
-        assert steps_per_epoch, "steps_per_epoch required (len(batcher))"
-        # the final partial group of each epoch is dropped (shape-static fused
-        # call); the schedule horizon and resume math count the steps actually
-        # taken
-        steps_per_epoch = steps_per_epoch - steps_per_epoch % K
         # Warm-started runs want a gentler peak LR: trained at the scratch
         # recipe's full peak, the seeded real-scale arm drifted upward past
         # convergence (BASELINE.md r3 "real-scale learning", observation 1) —
@@ -190,6 +197,14 @@ class Trainer:
                     # step (the reference restarts the epoch AND reloads only
                     # model weights, trainer.py:108-112).
                     skip_batches = max(0, int(state.step) - start_epoch * steps_per_epoch)
+                    if skip_batches % K:
+                        raise ValueError(
+                            f"mid-epoch resume at step {int(state.step)} is not "
+                            f"aligned to train.steps_per_call={K}: the checkpoint "
+                            "was written under a different steps_per_call, so the "
+                            "group skip below would silently drop or re-train "
+                            "batches — resume with the original value (or restart "
+                            "the epoch by clearing the preempted flag)")
                 # restore the best-so-far metric so the first post-resume epoch
                 # cannot overwrite best/ with a worse checkpoint
                 if meta.get("best_val") is not None:

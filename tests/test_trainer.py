@@ -449,3 +449,83 @@ def test_steps_per_call_composes_with_grad_accum():
     for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
                     jax.tree_util.tree_leaves(s_multi.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2, rtol=5e-2)
+
+
+def test_steps_per_call_epoch_too_short_raises(tmp_path):
+    """train.steps_per_call=K with an epoch of < K batches must fail FAST with
+    an actionable message — not a bare StopIteration from the empty grouped
+    iterator or a 0-step schedule assert deep in _build_state (r4 review)."""
+    from mammo_clip_tpu.data.pipeline import group_batches, stack_batches
+
+    cfg = tiny_test_config()
+    cfg.scheduler.update(epochs=1, warmup_epochs=0)
+    cfg.train.update(steps_per_call=2)
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+    store = SyntheticImageStore((h, w))
+    tok = HashTokenizer(vocab_size=cfg.model.text_encoder.vocab_size)
+    train_b = Batcher(ImageTextDataset(_synthetic_df(8), store, split="train"), tok,
+                      batch_size=8, max_length=cfg.data.text_max_length,
+                      process_index=0, process_count=1)
+    ctx = MeshContext.create(data=8, model=1)
+    assert len(train_b) == 1  # 1 batch/epoch < K=2
+
+    def train_batches(epoch):
+        train_b.set_epoch(epoch)
+        return prefetch_to_device(
+            (stack_batches(g) for g in group_batches(iter(train_b), 2)),
+            ctx, stacked=True)
+
+    trainer = Trainer(cfg, mesh_ctx=ctx, workdir=str(tmp_path / "run"))
+    with pytest.raises(ValueError, match="steps_per_call"):
+        trainer.fit(train_batches, None, steps_per_epoch=len(train_b))
+
+
+def test_resume_misaligned_steps_per_call_raises(tmp_path):
+    """A preempted checkpoint written under a different steps_per_call must be
+    rejected at resume: the group-skip arithmetic assumes state.step is a
+    multiple of K, and silently dropping/re-training batches is worse than an
+    error (r4 review)."""
+    from mammo_clip_tpu.data.pipeline import group_batches, stack_batches
+    from mammo_clip_tpu.train.checkpoint import save_checkpoint
+    from mammo_clip_tpu.train.step import make_train_step
+    import jax
+
+    cfg = tiny_test_config()
+    cfg.scheduler.update(epochs=1, warmup_epochs=0)
+    h, w = cfg.data.image_size_h, cfg.data.image_size_w
+    store = SyntheticImageStore((h, w))
+    tok = HashTokenizer(vocab_size=cfg.model.text_encoder.vocab_size)
+    train_b = Batcher(ImageTextDataset(_synthetic_df(32), store, split="train"), tok,
+                      batch_size=8, max_length=cfg.data.text_max_length,
+                      process_index=0, process_count=1)
+    ctx = MeshContext.create(data=8, model=1)
+    spe = len(train_b)
+    assert spe == 4
+
+    def single_batches(epoch):
+        train_b.set_epoch(epoch)
+        return prefetch_to_device(iter(train_b), ctx)
+
+    workdir = str(tmp_path / "run")
+    trainer = Trainer(cfg, mesh_ctx=ctx, workdir=workdir)
+    # one K=1 step -> preempted checkpoint at step 1 (odd vs the new K=2)
+    first = next(iter(single_batches(0)))
+    example = trainer.preprocess({k: v for k, v in first.items()}, None)
+    state, _ = trainer._build_state(example, spe)
+    step_fn = make_train_step(trainer.model, trainer.loss_fn,
+                              preprocess=trainer.preprocess, donate=False)
+    state, _ = step_fn(state, first, jax.random.PRNGKey(cfg.seed + 1))
+    save_checkpoint(f"{workdir}/checkpoints", state, config=cfg.to_dict(),
+                    extra_meta={"epoch": 0, "preempted": True})
+
+    cfg.train.update(steps_per_call=2)
+
+    def stacked_batches(epoch):
+        train_b.set_epoch(epoch)
+        return prefetch_to_device(
+            (stack_batches(g) for g in group_batches(iter(train_b), 2)),
+            ctx, stacked=True)
+
+    with pytest.raises(ValueError, match="steps_per_call"):
+        Trainer(cfg, mesh_ctx=ctx, workdir=workdir).fit(
+            stacked_batches, None, steps_per_epoch=spe, resume=True)
