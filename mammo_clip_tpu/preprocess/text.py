@@ -107,8 +107,10 @@ class BackTranslator:
             self._models = models
         except Exception:
             warnings.warn(
-                "MarianMT weights unavailable (offline); back-translation degrades to "
-                "identity — text_augment will equal text."
+                "MarianMT weights unavailable (offline); the bare BackTranslator "
+                "degrades to identity. augment_pretrain_csv falls back to "
+                "RuleParaphraser, so its text_augment column is still a real "
+                "paraphrase."
             )
 
     @property
