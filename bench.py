@@ -47,8 +47,6 @@ import numpy as np
 # derived in BASELINE.md "throughput baseline" section: ~36 images/sec/chip.
 A100_IMGS_PER_SEC_ESTIMATE = 36.0
 
-BATCH = 8  # reference ships 4/GPU (configs/dataloader/dataloader_b5.yaml:6); on the
-#            16GB v5e chip bs8 with selective remat is 2.6x faster per image
 WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
@@ -82,6 +80,9 @@ def main(argv=None) -> None:
                     "trims' quality evidence is not falsifiable without real data "
                     "(BASELINE.md r4 re-gating verdict)")
     args = ap.parse_args(argv)
+    if args.compat and (args.trimmed or args.no_amp_attn):
+        ap.error("--trimmed/--no-amp-attn only modify the flagship recipe; "
+                 "--compat is reference-exact by definition")
 
     import jax
     import jax.numpy as jnp
@@ -91,75 +92,31 @@ def main(argv=None) -> None:
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     _enable_compile_cache()
 
-    from mammo_clip_tpu.core.config import default_pretrain_config
-    from mammo_clip_tpu.losses import build_loss
-    from mammo_clip_tpu.models import build_model
-    from mammo_clip_tpu.ops.augment import AugmentConfig, augment_two_views
-    from mammo_clip_tpu.train import (
-        build_optimizer,
-        create_train_state,
-        make_train_multistep,
-        make_train_step,
-        warmup_cosine_sq_schedule,
+    from mammo_clip_tpu.train import create_train_state
+    from mammo_clip_tpu.train.recipes import (
+        BENCH_BATCH as BATCH,
+        bench_recipe_config,
+        build_bench_train,
+        default_steps_per_call,
     )
 
-    cfg = default_pretrain_config("b5")
-    # remat required: bf16 tile-padding expansion (2-4x) on the low-channel early
-    # feature maps blows 16GB HBM at bs4 without it
-    cfg.model.image_encoder.remat = True
-    if not args.compat:
-        # TPU-native flagship recipe: space-to-depth front end, C=128-dense
-        # early stages (BASELINE.md round-2 structural results: 2.2x the
-        # compatible path on this chip). Its activations are small enough that
-        # remat is a net loss — run without it (12.8 GB temp at bs8).
-        cfg.model.image_encoder.tpu_optimized = True
-        cfg.model.image_encoder.remat = False
-        if args.trimmed:
-            # Capacity trims on the biggest HBM streams (stage3 E384->256,
-            # stage5-group E1024->768, stage6 E1792->1536, stage4 E768->512).
-            # Promoted in r3 under a saturated gate; DEMOTED to this opt-in in
-            # r4 after the graded re-gating: the deliberately over-cut control
-            # (slim3=128/slim5=384, 0.68x FLOPs) PASSED the hardest synthetic
-            # gate we could build, so no synthetic instrument can certify the
-            # trims preserve B5-class quality — that needs real data
-            # (BASELINE.md r4 "re-gating verdict"; ROADMAP quality-parity #1).
-            cfg.model.image_encoder.tpu_slim_stage3 = 256
-            cfg.model.image_encoder.tpu_slim_stage5 = 768
-            cfg.model.image_encoder.tpu_slim_stage6 = 1536
-            cfg.model.image_encoder.tpu_slim_stage4 = 512
-        if not args.no_amp_attn:
-            # r4: BERT attention logits/probs stored in bf16 with fp32 softmax
-            # math (torch-AMP semantics, models/bert.py) — -6 ms/step measured,
-            # numerics equivalence-tested vs the fp32 path (tests/test_convert)
-            cfg.model.text_encoder.amp_attn_scores = True
+    # Recipe rationale (trim demotion, amp scores, remat choices) lives with
+    # the shared construction in train/recipes.py — the same step that
+    # precompile_step.py AOT-warms and real_scale_learning.py certifies.
+    cfg = bench_recipe_config(compat=args.compat, trimmed=args.trimmed,
+                              amp_attn=not args.no_amp_attn)
     # r4: fuse K optimizer steps into one jit call (train/step.py
     # make_train_multistep; trainer knob train.steps_per_call). The relay adds
     # ~12 ms of dispatch latency PER CALL that grouped async dispatch does not
     # hide (BASELINE.md r4 ledger: 222 ms device vs 234 ms wall); K=5
     # amortizes it to ~2.4 ms with the same math (bit-exact at K=1)
     # (tests/test_train.py::test_multistep_matches_sequential_steps).
-    k_steps = args.steps_per_call if args.steps_per_call else (1 if args.compat else 5)
+    k_steps = args.steps_per_call or default_steps_per_call(args.compat)
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
 
-    model = build_model(cfg.model.to_dict(), dtype=jnp.bfloat16)
-    loss_fn = build_loss(cfg.loss.to_dict())
-    schedule = warmup_cosine_sq_schedule(cfg.optimizer.lr, total_steps=10_000, warmup_steps=500)
-    tx = build_optimizer(cfg.optimizer.to_dict(), schedule)
-
-    aug = AugmentConfig.from_dict(cfg.augment.to_dict())
-    mean, std = cfg.data.mean, cfg.data.std
-
-    def preprocess(batch, rng):
-        batch = dict(batch)
-        # both views in ONE warp invocation (halves the fixed per-call costs);
-        # the flagship emits bf16 (the encoder casts at entry anyway — halves
-        # the full-res bytes between warp and stem)
-        batch["images"], batch["image_views"] = augment_two_views(
-            batch["images"], batch["image_views"], rng, aug, mean, std, train=True,
-            out_dtype=None if args.compat else jnp.bfloat16,
-        )
-        return batch
+    model, loss_fn, tx, preprocess, train_step = build_bench_train(
+        cfg, compat=args.compat, k_steps=k_steps)
 
     rng = np.random.default_rng(0)
     ids = rng.integers(1, cfg.model.text_encoder.vocab_size, size=(BATCH, seq), dtype=np.int32)
@@ -185,10 +142,7 @@ def main(argv=None) -> None:
         # the trainer's fused K-step path: one dispatch, one (K,B,...) batch.
         # The same host batch is stacked K times — byte-identical input volume
         # per step to the K=1 path (the trainer stacks K DISTINCT batches).
-        train_step = make_train_multistep(model, loss_fn, preprocess=preprocess, donate=True)
         batch = {k: jnp.stack([v] * k_steps) for k, v in batch.items()}
-    else:
-        train_step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
 
     step_rng = jax.random.PRNGKey(1)
     for _ in range(WARMUP_STEPS):

@@ -14,20 +14,37 @@ Usage (overlap with an arm run):
     python benchmarks/precompile_step.py             # bench.py flagship (amp + K=5)
     python benchmarks/precompile_step.py --compat    # reference path (fp32, K=1)
 
-The construction below mirrors bench.py line-for-line (same config mutations,
-same preprocess closure, same donate flag) — if bench.py's recipe changes,
-change this file too, or the cache entry is for a stale HLO and simply goes
-unused (no correctness risk).
+HLO identity with bench.py is BY CONSTRUCTION: both call
+``mammo_clip_tpu.train.recipes`` (``bench_recipe_config`` +
+``build_bench_train``), the single source of truth for the measured recipe
+(before r4 the construction was hand-copied here and drift produced silently
+unused cache entries). ``--lower-only`` prints a source-metadata-stripped
+hash of the lowered HLO instead of compiling — the regression check that any
+two recipe entry points still build the same program.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def stripped_hlo_hash(lowered) -> str:
+    """sha256 of the lowered StableHLO text with source-location metadata
+    removed — the same canonicalization idea as jax's compile-cache key, so
+    equal hashes mean 'same cache entry' even when the building code moved
+    between files."""
+    text = lowered.as_text()
+    text = re.sub(r'loc\("[^"]*"\([^)]*\)\)', "loc(stripped)", text)
+    text = re.sub(r"#loc\d* = .*", "", text)
+    text = re.sub(r" loc\(#?[^)]*\)", "", text)
+    return hashlib.sha256(text.encode()).hexdigest()
 
 
 def main(argv=None) -> None:
@@ -45,11 +62,14 @@ def main(argv=None) -> None:
                     "could not fail the over-cut control, BASELINE.md r4)")
     ap.add_argument("--slim-stage7", type=int, default=0,
                     help="also apply tpu_slim_stage7=<N> on top of the trims")
+    ap.add_argument("--lower-only", action="store_true",
+                    help="skip the (remote) compile: print the metadata-"
+                    "stripped HLO hash and exit — for recipe-identity checks "
+                    "on any backend")
     args = ap.parse_args(argv)
-    # bench.py's defaults for the variant (keep the two in lockstep — the
-    # whole point is a cache entry whose HLO matches what bench.py jits)
-    amp_attn = not args.compat and not args.no_amp_attn
-    k_steps = args.steps_per_call if args.steps_per_call else (1 if args.compat else 5)
+    if args.compat and (args.trimmed or args.no_amp_attn or args.slim_stage7):
+        ap.error("--trimmed/--no-amp-attn/--slim-stage7 only modify the "
+                 "flagship recipe; --compat is reference-exact by definition")
 
     import jax
     import jax.numpy as jnp
@@ -58,51 +78,28 @@ def main(argv=None) -> None:
     from mammo_clip_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
 
-    from mammo_clip_tpu.core.config import default_pretrain_config
-    from mammo_clip_tpu.losses import build_loss
-    from mammo_clip_tpu.models import build_model
-    from mammo_clip_tpu.ops.augment import AugmentConfig, augment_two_views
-    from mammo_clip_tpu.train import (
-        build_optimizer,
-        create_train_state,
-        make_train_step,
-        warmup_cosine_sq_schedule,
+    from mammo_clip_tpu.train import create_train_state
+    from mammo_clip_tpu.train.recipes import (
+        BENCH_BATCH as BATCH,
+        bench_recipe_config,
+        build_bench_train,
+        default_steps_per_call,
     )
 
-    BATCH = 8  # bench.py BATCH
+    slim = {7: args.slim_stage7} if args.slim_stage7 else None
+    if args.trimmed and slim:
+        from mammo_clip_tpu.train.recipes import TRIMMED_SLIM
 
-    cfg = default_pretrain_config("b5")
-    cfg.model.image_encoder.remat = True
-    if not args.compat:
-        cfg.model.image_encoder.tpu_optimized = True
-        cfg.model.image_encoder.remat = False
-        if args.trimmed:
-            cfg.model.image_encoder.tpu_slim_stage3 = 256
-            cfg.model.image_encoder.tpu_slim_stage5 = 768
-            cfg.model.image_encoder.tpu_slim_stage6 = 1536
-            cfg.model.image_encoder.tpu_slim_stage4 = 512
-        if args.slim_stage7:
-            cfg.model.image_encoder.tpu_slim_stage7 = args.slim_stage7
-    if amp_attn:
-        cfg.model.text_encoder.amp_attn_scores = True
+        slim = dict(TRIMMED_SLIM, **slim)
+    cfg = bench_recipe_config(
+        compat=args.compat, trimmed=args.trimmed and not slim,
+        amp_attn=not args.no_amp_attn, slim=slim)
+    k_steps = args.steps_per_call or default_steps_per_call(args.compat)
     h, w = cfg.data.image_size_h, cfg.data.image_size_w
     seq = cfg.data.text_max_length
 
-    model = build_model(cfg.model.to_dict(), dtype=jnp.bfloat16)
-    loss_fn = build_loss(cfg.loss.to_dict())
-    schedule = warmup_cosine_sq_schedule(cfg.optimizer.lr, total_steps=10_000, warmup_steps=500)
-    tx = build_optimizer(cfg.optimizer.to_dict(), schedule)
-
-    aug = AugmentConfig.from_dict(cfg.augment.to_dict())
-    mean, std = cfg.data.mean, cfg.data.std
-
-    def preprocess(batch, rng):
-        batch = dict(batch)
-        batch["images"], batch["image_views"] = augment_two_views(
-            batch["images"], batch["image_views"], rng, aug, mean, std, train=True,
-            out_dtype=None if args.compat else jnp.bfloat16,
-        )
-        return batch
+    model, loss_fn, tx, preprocess, train_step = build_bench_train(
+        cfg, compat=args.compat, k_steps=k_steps)
 
     sds = jax.ShapeDtypeStruct
     batch_sds = {
@@ -129,25 +126,25 @@ def main(argv=None) -> None:
     )
 
     if k_steps > 1:
-        from mammo_clip_tpu.train import make_train_multistep
-
-        train_step = make_train_multistep(model, loss_fn, preprocess=preprocess, donate=True)
         batch_sds = {k: sds((k_steps,) + v.shape, v.dtype)
                      for k, v in batch_sds.items()}
-    else:
-        train_step = make_train_step(model, loss_fn, preprocess=preprocess, donate=True)
     t0 = time.perf_counter()
     lowered = train_step.lower(state_sds, batch_sds, rng_sds)
     t1 = time.perf_counter()
+    variant = (f"{'compat' if args.compat else 'flagship'}"
+               f"{'+amp_attn_scores' if not args.compat and not args.no_amp_attn else ''}"
+               f"{f'+K={k_steps}' if k_steps > 1 else ''}"
+               f"{f'+slim7={args.slim_stage7}' if args.slim_stage7 else ''}"
+               f"{'+trimmed' if args.trimmed else ''}")
+    if args.lower_only:
+        print(f"lowered in {t1 - t0:.1f}s", file=sys.stderr)
+        print(f"{variant} hlo_sha256={stripped_hlo_hash(lowered)}")
+        return
     print(f"lowered in {t1 - t0:.1f}s; compiling (remote service)...", file=sys.stderr)
     compiled = lowered.compile()
     t2 = time.perf_counter()
     mem = getattr(compiled, "memory_analysis", lambda: None)()
-    print(f"compiled in {t2 - t1:.1f}s; cache warmed for "
-          f"{'compat' if args.compat else 'flagship'}"
-          f"{'+amp_attn_scores' if amp_attn else ''}"
-          f"{f'+K={k_steps}' if k_steps > 1 else ''}"
-          f"{f'+slim7={args.slim_stage7}' if args.slim_stage7 else ''}")
+    print(f"compiled in {t2 - t1:.1f}s; cache warmed for {variant}")
     if mem is not None:
         try:
             print(f"temp allocation: {mem.temp_size_in_bytes / 1e9:.2f} GB", file=sys.stderr)
