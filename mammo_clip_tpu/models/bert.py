@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.constraint import shard_seq as _seq_shard
+
 
 @dataclasses.dataclass(frozen=True)
 class BertConfig:
@@ -49,6 +51,13 @@ class BertConfig:
     #   unaffected; the concat costs ~7 MB of fp32 reads per layer — noise
     #   next to the matmul. Opt-in perf experiment for the BERT MFU item
     #   (BASELINE.md r3 profile: 22 ms, ~48% MFU).
+    seq_parallel: bool = False  # Megatron-style SEQUENCE parallelism: shard the
+    #   (B, S, H) activations of the LN/dropout/residual regions along S over
+    #   the TP 'model' axis (parallel/constraint.shard_seq). Pure GSPMD
+    #   constraint — XLA rewrites the TP all-reduces into reduce-scatter +
+    #   all-gather pairs around the sharded regions. Opt-in, inert without an
+    #   active mesh context (``with jax.set_mesh(mesh):``); beyond-reference
+    #   capability (the reference is DDP-only, trainer_ddp.py:134).
     amp_attn_scores: bool = False  # materialize attention logits/probs in the
     #   activation dtype (bf16) instead of fp32, with the softmax REDUCTION
     #   still computed in fp32 inside the fused kernel. This is torch-AMP
@@ -158,14 +167,18 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         cfg = self.cfg
+        sp = _seq_shard if cfg.seq_parallel else (lambda t: t)
         attn = BertSelfAttention(cfg, dtype=self.dtype, name="attention")(x, mask, deterministic)
         attn = nn.Dropout(cfg.dropout_rate)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln")(x + attn)
+        # seq_parallel: the LN/dropout/residual regions between the TP matmuls
+        # are sequence-sharded over 'model' (constraint only; GSPMD inserts the
+        # reduce-scatter/all-gather pairs) — see parallel/constraint.shard_seq.
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln")(sp(x + attn))
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(x)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="ffn_output")(h)
         h = nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ffn_ln")(x + h)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ffn_ln")(sp(x + h))
         return x
 
 
@@ -198,6 +211,8 @@ class BertEncoder(nn.Module):
         x = word + pos + typ
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="embeddings_ln")(x)
         x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+        if cfg.seq_parallel:
+            x = _seq_shard(x)
 
         mask = attention_mask.astype(bool)
         layer_cls = BertLayer

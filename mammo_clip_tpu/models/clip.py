@@ -42,6 +42,7 @@ def bert_config_from_model_config(model_config: Dict) -> BertConfig:
         remat=t.get("gradient_checkpointing", False),
         fused_qkv=t.get("fused_qkv", False),
         amp_attn_scores=t.get("amp_attn_scores", False),
+        seq_parallel=t.get("seq_parallel", False),
     )
 
 

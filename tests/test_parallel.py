@@ -317,3 +317,83 @@ def test_global_batch_size_counts_only_batch_carrying_devices():
     # and the sharded global batch divides evenly onto the mesh
     ctx_flat = MeshContext.create(data=8)
     assert ctx_flat.global_batch_size(3) == 24
+
+
+def test_shard_seq_constraint_applies_under_mesh_context():
+    """parallel/constraint.shard_seq: under an active mesh context the sequence
+    dim of a (B, S, H) activation gets 'model'-sharded while the batch dim's
+    existing 'data' sharding is preserved (UNCONSTRAINED dims); with no mesh
+    context the helper is an exact no-op."""
+    from mammo_clip_tpu.parallel import shard_seq
+
+    mesh = make_mesh(data=4, model=2)
+    x = jax.device_put(
+        jnp.ones((8, 6, 4)), NamedSharding(mesh, P("data", None, None))
+    )
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda t: shard_seq(t) * 1.0)(x)
+    spec = out.sharding.spec
+    assert spec[0] == "data" and spec[1] == "model", spec
+
+    # no mesh context -> identity (trace-time no-op, single-device safe)
+    y = jnp.ones((2, 6, 4))
+    assert shard_seq(y) is y
+    # indivisible sequence -> no-op even under the context
+    with jax.set_mesh(mesh):
+        z = jax.jit(lambda t: shard_seq(t) * 1.0)(jnp.ones((2, 5, 4)))
+    assert "model" not in str(z.sharding.spec)
+
+
+def test_seq_parallel_matches_replicated_loss():
+    """text_encoder.seq_parallel=True (Megatron SP over the TP 'model' axis)
+    computes the same train step as the baseline — the constraint only changes
+    WHERE the LN/residual regions live, never the math."""
+    import copy
+
+    from mammo_clip_tpu.core.config import tiny_test_config
+    from mammo_clip_tpu.core.mesh import MeshContext
+    from mammo_clip_tpu.losses import build_loss
+    from mammo_clip_tpu.models import build_model
+    from mammo_clip_tpu.parallel.partitioning import shard_train_state
+    from mammo_clip_tpu.train import (
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+        warmup_cosine_sq_schedule,
+    )
+
+    ctx = MeshContext.create(data=4, model=2)
+    cfg = tiny_test_config()
+    base_model = build_model(cfg.model.to_dict())
+    sp_cfg = copy.deepcopy(cfg.model.to_dict())
+    sp_cfg["text_encoder"]["seq_parallel"] = True
+    sp_model = build_model(sp_cfg)
+
+    loss_fn = build_loss(cfg.loss.to_dict())
+    tx = build_optimizer(cfg.optimizer.to_dict(),
+                         warmup_cosine_sq_schedule(cfg.optimizer.lr, 100, 10))
+    rng = np.random.default_rng(0)
+    h, w, s = cfg.data.image_size_h, cfg.data.image_size_w, cfg.data.text_max_length
+    assert s % 2 == 0, "tiny config S must divide the model axis for this test"
+    v = cfg.model.text_encoder.vocab_size
+    ids = rng.integers(1, v, size=(8, s), dtype=np.int32)
+    batch = ctx.shard_host_batch({
+        "images": rng.standard_normal((8, h, w, 1)).astype(np.float32),
+        "image_views": rng.standard_normal((8, h, w, 1)).astype(np.float32),
+        "input_ids": ids, "attention_mask": np.ones((8, s), np.int32),
+        "input_ids2": ids, "attention_mask2": np.ones((8, s), np.int32),
+    })
+    base = create_train_state(base_model, batch, tx, jax.random.PRNGKey(0))
+    state = shard_train_state(base, ctx.mesh)
+
+    step = make_train_step(base_model, loss_fn, donate=False)
+    sp_step = make_train_step(sp_model, loss_fn, donate=False)
+    new_base, l_base = step(state, batch, jax.random.PRNGKey(1))
+    with jax.set_mesh(ctx.mesh):
+        new_sp, l_sp = sp_step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(l_sp["total"]), float(l_base["total"]), rtol=2e-5)
+    f_sp = np.concatenate([np.asarray(x).ravel()
+                           for x in jax.tree_util.tree_leaves(new_sp.params)])
+    f_base = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree_util.tree_leaves(new_base.params)])
+    np.testing.assert_allclose(f_sp, f_base, rtol=5e-4, atol=1e-5)
