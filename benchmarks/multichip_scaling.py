@@ -77,6 +77,15 @@ def _measure_mesh(cfg, n_devices: int, args) -> dict:
     ctx = MeshContext.create(data=n_devices // (tp * replica), model=tp,
                              replica=replica, devices=devices)
 
+    if getattr(args, "seq_parallel", False):
+        # opt-in Megatron-SP (r5): the constraint is inert unless the jitted
+        # calls below run under an active mesh context, provided by the
+        # jax.set_mesh wrapper around the build/measure block
+        import copy as _copy
+
+        cfg = _copy.deepcopy(cfg)
+        cfg.model.text_encoder.seq_parallel = True
+
     model, _loss_fn, tx, _pre, train_step = build_bench_train(
         cfg, compat=(args.recipe == "compat"), k_steps=args.steps_per_call)
 
@@ -104,24 +113,32 @@ def _measure_mesh(cfg, n_devices: int, args) -> dict:
     batch = ctx.shard_host_batch(host_batch, stacked=(k > 1))
 
     step_rng = jax.random.PRNGKey(1)
-    for _ in range(WARMUP_GROUPS):
-        state, loss_dict = train_step(state, batch, step_rng)
-        warm_loss = float(loss_dict["total"])
-    assert np.isfinite(warm_loss), f"non-finite loss on {n_devices}-device mesh"
+    import contextlib
 
-    times = []
-    for _ in range(max(1, args.measure_steps // GROUP)):
-        t0 = time.perf_counter()
-        for _ in range(GROUP):
+    with contextlib.ExitStack() as stack:
+        if getattr(args, "seq_parallel", False):
+            # SP constraints read the abstract mesh at trace time — the first
+            # train_step call below traces under this active mesh context
+            stack.enter_context(jax.set_mesh(ctx.mesh))
+        for _ in range(WARMUP_GROUPS):
             state, loss_dict = train_step(state, batch, step_rng)
-        _ = float(loss_dict["total"])  # forces completion of the whole group
-        times.append((time.perf_counter() - t0) / (GROUP * k))
+            warm_loss = float(loss_dict["total"])
+        assert np.isfinite(warm_loss), f"non-finite loss on {n_devices}-device mesh"
+
+        times = []
+        for _ in range(max(1, args.measure_steps // GROUP)):
+            t0 = time.perf_counter()
+            for _ in range(GROUP):
+                state, loss_dict = train_step(state, batch, step_rng)
+            _ = float(loss_dict["total"])  # forces completion of the whole group
+            times.append((time.perf_counter() - t0) / (GROUP * k))
     median = sorted(times)[len(times) // 2]
 
     imgs = 2 * global_batch / median  # 2 views/sample, bench.py's counter
     return {
         "n_devices": n_devices,
         "mesh": dict(ctx.mesh.shape),
+        "seq_parallel": bool(getattr(args, "seq_parallel", False) and tp > 1),
         "global_batch": global_batch,
         "ms_per_step": round(median * 1e3, 2),
         "images_per_sec_total": round(imgs, 2),
@@ -148,6 +165,10 @@ def main(argv=None) -> list:
     ap.add_argument("--measure-steps", type=int, default=10)
     ap.add_argument("--no-fsdp", dest="fsdp", action="store_false",
                     help="replicate params instead of ZeRO-3 sharding them")
+    ap.add_argument("--seq-parallel", action="store_true",
+                    help="with --tp > 1: Megatron-SP sequence sharding of the "
+                    "text tower's LN/dropout/residual regions over the 'model' "
+                    "axis (parallel/constraint.shard_seq, r5); a no-op at tp=1")
     ap.add_argument("--selftest", action="store_true",
                     help="tiny config on the virtual CPU mesh: certifies the "
                     "harness end-to-end on this 1-chip pod")

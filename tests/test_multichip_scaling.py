@@ -48,6 +48,31 @@ def test_selftest_sweeps_meshes_and_reports_efficiency(capsys):
     assert summary["steps_per_call"] == 2
 
 
+def test_seq_parallel_sweep_runs_and_labels_results(capsys):
+    """--seq-parallel (r5): the SP constraint traces under the active mesh and
+    the result rows record whether SP was actually in effect (tp>1)."""
+    import benchmarks.multichip_scaling as ms
+
+    prng_impl = jax.config.jax_default_prng_impl
+    try:
+        results = ms.main([
+            "--selftest", "--mesh-sizes", "1,4", "--measure-steps", "5",
+            "--steps-per-call", "1", "--tp", "2", "--seq-parallel",
+        ])
+    finally:
+        jax.config.update("jax_default_prng_impl", prng_impl)
+
+    import numpy as np
+
+    by_n = {r["n_devices"]: r for r in results}
+    # n=1 cannot host tp=2 -> falls back to tp=1, SP inert; n=4 runs 2x2 with SP
+    assert by_n[1]["seq_parallel"] is False
+    assert by_n[4]["seq_parallel"] is True
+    assert by_n[4]["mesh"].get("model") == 2
+    for r in results:
+        assert np.isfinite(r["warm_loss"])
+
+
 def test_mesh_sizes_beyond_available_are_skipped(capsys):
     import benchmarks.multichip_scaling as ms
 
