@@ -129,8 +129,10 @@ def main(argv=None) -> None:
         "params": jax.tree_util.tree_map(jnp.asarray, saved["params"]),
         "batch_stats": jax.tree_util.tree_map(jnp.asarray, saved["batch_stats"]),
     }
+    # --ckpt pickles carry "step"; --save-params endpoint pickles don't (-1)
+    ckpt_step = int(saved.get("step", -1))
     label = f"{args.path}-probe[{args.features}]-seed[{args.seed}]"
-    print(f"[{label}] loaded step-{saved['step']} checkpoint {args.ckpt}",
+    print(f"[{label}] loaded step-{ckpt_step} checkpoint {args.ckpt}",
           file=sys.stderr)
 
     method = model.embed_image if args.features == "embed" else model.encode_image
@@ -203,7 +205,7 @@ def main(argv=None) -> None:
     probe.fit(ftr, tlabels)
     prob = probe.predict_proba(fev)
 
-    out = {"probe": label, "ckpt": args.ckpt, "ckpt_step": int(saved["step"]),
+    out = {"probe": label, "ckpt": args.ckpt, "ckpt_step": ckpt_step,
            "features": args.features, "n_train": args.probe_train_n,
            "n_eval": args.probe_eval_n,
            "train_acc": round(float(probe.score(ftr, tlabels)), 4)}
