@@ -216,4 +216,8 @@ def main(argv=None) -> None:
 
 
 if __name__ == "__main__":
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     main()
